@@ -1,0 +1,42 @@
+"""audio_cut_tpu — TPU-native vocal smart splitter.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of BDMstudio/audio-cut
+("Vocal Smart Splitter"): vocal/instrumental source separation plus smart,
+sample-accurate segmentation at natural vocal pauses, engineered for TPU
+hardware (MXU-friendly batched kernels, static shapes, chunked overlap-add
+streaming, pjit/shard_map scale-out).
+
+Public surface (parity with reference src/audio_cut/api.py:31):
+
+    from audio_cut_tpu import separate_and_segment
+    manifest = separate_and_segment(input_uri="song.wav", export_dir="out",
+                                    segments="medium", alignment="balanced")
+"""
+
+__version__ = "0.1.0"
+
+from audio_cut_tpu.exceptions import (
+    AudioCutError,
+    GlobalCutPlanningError,
+    LyricsAlignmentUnavailable,
+    LyricsProviderError,
+    TimelineValidationError,
+)
+
+
+def separate_and_segment(*args, **kwargs):
+    """Lazy wrapper around :func:`audio_cut_tpu.api.separate_and_segment`."""
+    from audio_cut_tpu.api import separate_and_segment as _impl
+
+    return _impl(*args, **kwargs)
+
+
+__all__ = [
+    "__version__",
+    "separate_and_segment",
+    "AudioCutError",
+    "LyricsAlignmentUnavailable",
+    "LyricsProviderError",
+    "TimelineValidationError",
+    "GlobalCutPlanningError",
+]

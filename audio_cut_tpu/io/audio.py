@@ -1,0 +1,113 @@
+"""Audio load/save/resample helpers (host side).
+
+Parity: reference src/vocal_smart_splitter/utils/audio_processor.py:17-323
+(librosa load with mono + target SR + optional normalize) and
+audio_resample.py:27-46 (16 kHz mono detection copies). librosa is not
+available here; decoding is our own WAV codec and resampling is polyphase
+(scipy.signal.resample_poly), which matches librosa's ``res_type='polyphase'``.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import numpy as np
+from scipy import signal as _signal
+
+from audio_cut_tpu.exceptions import AudioIOError
+from audio_cut_tpu.io.wavio import read_wav, write_wav
+
+logger = logging.getLogger(__name__)
+
+_SUPPORTED_EXTS = {".wav", ".wave"}
+_UNSUPPORTED_HINT = (
+    "only WAV input is supported in this build (no mp3/flac/m4a decoder is "
+    "bundled); convert with `ffmpeg -i {src} -acodec pcm_s24le out.wav` first"
+)
+
+
+def to_mono(audio: np.ndarray) -> np.ndarray:
+    if audio.ndim == 1:
+        return audio
+    return np.mean(audio, axis=-1, dtype=np.float32)
+
+
+def resample_poly(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resample along the time axis (axis 0)."""
+    if sr_in == sr_out:
+        return audio
+    g = math.gcd(int(sr_in), int(sr_out))
+    up, down = sr_out // g, sr_in // g
+    out = _signal.resample_poly(audio.astype(np.float64), up, down, axis=0)
+    return out.astype(np.float32)
+
+
+def load_audio(
+    path: Union[str, Path],
+    target_sr: Optional[int] = None,
+    mono: bool = True,
+    normalize: bool = False,
+) -> Tuple[np.ndarray, int]:
+    """Load an audio file as float32, optionally mono/resampled/normalized."""
+    p = Path(path)
+    if not p.exists():
+        raise AudioIOError(f"audio file not found: {p}")
+    if p.suffix.lower() not in _SUPPORTED_EXTS:
+        raise AudioIOError(_UNSUPPORTED_HINT.format(src=p.name))
+    audio, sr = read_wav(p)
+    if mono:
+        audio = to_mono(audio)
+    if target_sr is not None and target_sr != sr:
+        audio = resample_poly(audio, sr, target_sr)
+        sr = int(target_sr)
+    if normalize:
+        peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+        if peak > 0:
+            audio = audio / peak
+    return np.ascontiguousarray(audio, dtype=np.float32), sr
+
+
+def save_audio(
+    path: Union[str, Path],
+    audio: np.ndarray,
+    sample_rate: int,
+    subtype: str = "PCM_24",
+) -> str:
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    write_wav(p, audio, sample_rate, subtype=subtype)
+    return str(p)
+
+
+def write_asr_copy(
+    audio: np.ndarray,
+    sample_rate: int,
+    dest: Union[str, Path],
+    asr_sr: int = 16000,
+) -> str:
+    """Write a 16 kHz mono PCM_16 detection copy for ASR workers."""
+    mono = to_mono(np.asarray(audio, dtype=np.float32))
+    res = resample_poly(mono, sample_rate, asr_sr)
+    return save_audio(dest, res, asr_sr, subtype="PCM_16")
+
+
+def find_zero_crossings(audio: np.ndarray) -> np.ndarray:
+    """Indices i where audio[i-1] and audio[i] straddle zero."""
+    a = np.asarray(audio)
+    return np.nonzero(np.signbit(a[:-1]) != np.signbit(a[1:]))[0] + 1
+
+
+def apply_fades(audio: np.ndarray, sr: int, fade_in_s: float = 0.0, fade_out_s: float = 0.0) -> np.ndarray:
+    out = np.array(audio, dtype=np.float32, copy=True)
+    n_in = int(round(fade_in_s * sr))
+    n_out = int(round(fade_out_s * sr))
+    if n_in > 0:
+        n_in = min(n_in, out.shape[0])
+        out[:n_in] *= np.linspace(0.0, 1.0, n_in, dtype=np.float32)
+    if n_out > 0:
+        n_out = min(n_out, out.shape[0])
+        out[-n_out:] *= np.linspace(1.0, 0.0, n_out, dtype=np.float32)
+    return out
