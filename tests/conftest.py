@@ -6,10 +6,14 @@ The driver's multi-chip dry-run uses the same mechanism
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU regardless of the ambient JAX_PLATFORMS (the shell may point at a
+# real TPU); tests must be fast and deterministic. Opt back into TPU with
+# AUDIO_CUT_TPU_TEST_TPU=1 for the @pytest.mark.tpu tier.
+if not os.environ.get("AUDIO_CUT_TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
