@@ -79,6 +79,8 @@ def export_audio(
 ) -> str:
     fmt_obj = get_format(fmt)
     if path.suffix.lower() != fmt_obj.extension:
-        path = path.with_suffix(fmt_obj.extension)
+        # append, never with_suffix: names legitimately end in ".<digit>"
+        # (duration suffixes like "_12.3") which with_suffix would mangle
+        path = path.parent / (path.name + fmt_obj.extension)
     path.parent.mkdir(parents=True, exist_ok=True)
     return fmt_obj.write(path, audio, sr, options)

@@ -1,0 +1,242 @@
+"""Chunked separation engine: schedule, per-window device compute, OLA.
+
+Replaces the reference's CUDA-stream chunk pipeline (reference
+src/audio_cut/utils/gpu_pipeline.py:333-375 chunk_schedule 10/2.5/0.5 s with
+align_hop=4096, and enhanced_vocal_separator.py:300-458 overlap-add loop).
+
+TPU design: every chunk is the SAME static shape, so one jitted window
+program serves all chunks; JAX async dispatch overlaps host slicing/accumulate
+with device compute (replacing pinned buffers + stream events). Halo samples
+are trimmed on device; cross-fade OLA weights normalise the overlap region.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from audio_cut_tpu.config import get_config
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class ChunkPlan:
+    """One window of the schedule. Parity: gpu_pipeline.py ChunkPlan :54."""
+
+    index: int
+    start: int            # window start sample (includes left halo)
+    end: int              # window end sample (includes right halo)
+    effective_start: int  # samples owned by this chunk after halo trim
+    effective_end: int
+
+
+def chunk_schedule(
+    total_samples: int,
+    sr: int,
+    chunk_s: float = 10.0,
+    overlap_s: float = 2.5,
+    halo_s: float = 0.5,
+    align: int = 4096,
+) -> Tuple[List[ChunkPlan], int]:
+    """Fixed-length window schedule. Returns (plans, window_len).
+
+    Window length, overlap AND every chunk start are multiples of `align`
+    (which itself is a multiple of every backend STFT hop). This keeps the
+    STFT frame phase identical between a chunk and the full track, so the
+    chunk-vs-full equivalence gate holds to float precision — the reference
+    had the same constraint (backends.py:268-281 pads to align_hop=4096).
+    Every window has the SAME length; the final window is right-aligned to
+    the align-padded track end so one compiled program serves all chunks.
+    """
+    window = int(round(chunk_s * sr))
+    window = ((window + align - 1) // align) * align
+    overlap = max(align, (int(round(overlap_s * sr)) // align) * align)
+    halo = int(round(halo_s * sr))
+    stride = max(window - overlap, align)
+    total_padded = ((total_samples + align - 1) // align) * align
+
+    if total_samples <= window:
+        return [ChunkPlan(0, 0, window, 0, total_samples)], window
+
+    plans: List[ChunkPlan] = []
+    start = 0
+    idx = 0
+    prev_eff_end = 0
+    while True:
+        last = start + window >= total_padded
+        if last:
+            start = total_padded - window  # aligned: both are align multiples
+        end = min(start + window, total_samples)
+        eff_start = prev_eff_end
+        eff_end = total_samples if last else min(end - halo, total_samples)
+        plans.append(ChunkPlan(idx, start, end, eff_start, eff_end))
+        prev_eff_end = eff_end
+        if last:
+            break
+        start += stride
+        idx += 1
+    return plans, window
+
+
+@dataclass
+class SeparationResult:
+    """Parity: reference enhanced_vocal_separator.py:45-58."""
+
+    vocal_track: Optional[np.ndarray]
+    instrumental_track: Optional[np.ndarray]
+    backend_used: str
+    separation_confidence: float
+    feature_cache: Optional[Any] = None
+    vad_segments: Optional[List[Tuple[float, float]]] = None
+    device_meta: Dict[str, Any] = field(default_factory=dict)
+
+
+class SeparationEngine:
+    """Orchestrates backend windows over the chunk schedule."""
+
+    def __init__(self, sample_rate: int, backend: Optional[str] = None) -> None:
+        self.sample_rate = int(sample_rate)
+        cfg_backend = backend or str(get_config("enhanced_separation.backend", "spectral"))
+        self.enable_fallback = bool(get_config("enhanced_separation.enable_fallback", True))
+        self.chunk_s = float(get_config("device_pipeline.chunk_seconds", 10.0))
+        self.overlap_s = float(get_config("device_pipeline.overlap_seconds", 2.5))
+        self.halo_s = float(get_config("device_pipeline.halo_seconds", 0.5))
+        self.align = int(get_config("device_pipeline.align_hop", 4096))
+        self._backend = None
+        self._backend_name = cfg_backend
+
+    @property
+    def backend(self):
+        if self._backend is None:
+            from audio_cut_tpu.separation.backends import make_backend
+
+            try:
+                self._backend = make_backend(self._backend_name, self.sample_rate)
+            except Exception as exc:
+                if not self.enable_fallback or self._backend_name == "spectral":
+                    raise
+                logger.warning(
+                    "backend %r failed to load (%s); falling back to spectral",
+                    self._backend_name, exc,
+                )
+                self._backend_name = "spectral"
+                self._backend = make_backend("spectral", self.sample_rate)
+        return self._backend
+
+    # -- full-track path (small tracks / equivalence reference) -----------
+
+    def separate_full(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        return self.backend.separate(np.asarray(audio, dtype=np.float32))
+
+    # -- chunked path ------------------------------------------------------
+
+    def separate_chunked(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
+        import jax.numpy as jnp
+
+        audio = np.asarray(audio, dtype=np.float32)
+        n = audio.shape[-1]
+        plans, window = chunk_schedule(
+            n, self.sample_rate, self.chunk_s, self.overlap_s, self.halo_s, self.align
+        )
+        halo = int(round(self.halo_s * self.sample_rate))
+
+        vocal = np.zeros(n, dtype=np.float64)
+        inst = np.zeros(n, dtype=np.float64)
+        weight = np.zeros(n, dtype=np.float64)
+
+        # cross-fade ramp across the overlap-beyond-halo region
+        ramp_len = max(1, int(round((self.overlap_s - 2 * self.halo_s) * self.sample_rate)))
+        base_w = np.ones(window, dtype=np.float64)
+        base_w[:ramp_len] = np.linspace(0.0, 1.0, ramp_len, endpoint=False) + 1e-6
+        base_w[-ramp_len:] = np.linspace(1.0, 0.0, ramp_len, endpoint=False) + 1e-6
+
+        t0 = time.time()
+        compute_s = 0.0
+        pending = []  # (plan, device vocal, device inst) — drain with 1 in flight
+        padded = audio if n >= window else np.pad(audio, (0, window - n))
+
+        for plan in plans:
+            seg = padded[plan.start:plan.start + window]
+            if seg.shape[-1] < window:
+                seg = np.pad(seg, (0, window - seg.shape[-1]))
+            tc = time.time()
+            v_dev, i_dev = self.backend.separate_window(jnp.asarray(seg))
+            pending.append((plan, v_dev, i_dev))
+            compute_s += time.time() - tc
+            if len(pending) > 1:
+                self._accumulate(pending.pop(0), window, n, base_w, halo, vocal, inst, weight)
+        while pending:
+            self._accumulate(pending.pop(0), window, n, base_w, halo, vocal, inst, weight)
+
+        w = np.maximum(weight, 1e-9)
+        meta = {
+            "gpu_pipeline_backend": self._backend_name,
+            "gpu_pipeline_chunks": len(plans),
+            "gpu_pipeline_window_samples": window,
+            "gpu_pipeline_compute_ms": round(compute_s * 1000.0, 3),
+            "gpu_pipeline_total_ms": round((time.time() - t0) * 1000.0, 3),
+            "gpu_pipeline_device": "tpu",
+        }
+        return (vocal / w).astype(np.float32), (inst / w).astype(np.float32), meta
+
+    @staticmethod
+    def _accumulate(item, window, n, base_w, halo, vocal, inst, weight):
+        plan, v_dev, i_dev = item
+        v = np.asarray(v_dev, dtype=np.float64)
+        i = np.asarray(i_dev, dtype=np.float64)
+        w = base_w.copy()
+        # halo samples contribute nothing (recomputed by neighbours)
+        if plan.start > 0:
+            w[:halo] = 0.0
+        if plan.end < n:
+            w[-halo:] = 0.0
+        lo, hi = plan.start, min(plan.start + window, n)
+        span = hi - lo
+        vocal[lo:hi] += v[:span] * w[:span]
+        inst[lo:hi] += i[:span] * w[:span]
+        weight[lo:hi] += w[:span]
+
+    # -- public API (parity: separate_for_detection) -----------------------
+
+    def separate_for_detection(self, audio: np.ndarray) -> SeparationResult:
+        audio = np.asarray(audio, dtype=np.float32)
+        n = audio.shape[-1]
+        window = int(round(self.chunk_s * self.sample_rate))
+        try:
+            if n <= window * 2:
+                vocal, inst = self.separate_full(audio)
+                meta = {
+                    "gpu_pipeline_backend": self._backend_name,
+                    "gpu_pipeline_chunks": 1,
+                    "gpu_pipeline_device": "tpu",
+                }
+            else:
+                vocal, inst, meta = self.separate_chunked(audio)
+        except Exception as exc:
+            if not self.enable_fallback:
+                raise
+            logger.error("separation failed (%s)", exc)
+            return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
+
+        confidence = _estimate_confidence(audio, vocal)
+        return SeparationResult(
+            vocal_track=vocal,
+            instrumental_track=inst,
+            backend_used=self._backend_name,
+            separation_confidence=confidence,
+            device_meta=meta,
+        )
+
+
+def _estimate_confidence(mix: np.ndarray, vocal: np.ndarray) -> float:
+    """Energy-partition heuristic (parity: enhanced_vocal_separator.py:490)."""
+    e_mix = float(np.mean(np.square(mix))) + 1e-12
+    e_voc = float(np.mean(np.square(vocal)))
+    ratio = e_voc / e_mix
+    # confident when the vocal estimate is a meaningful, sub-unity share
+    return float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))

@@ -1,0 +1,98 @@
+import numpy as np
+
+from audio_cut_tpu.cutting.refine import (
+    CutContext,
+    CutPoint,
+    align_to_zero_cross,
+    finalize_cut_points,
+    guard_shift_stats,
+    nms_min_gap,
+)
+
+
+def test_nms_min_gap_orders_and_gaps():
+    pts = [CutPoint(1.0, 0.9), CutPoint(1.5, 0.8), CutPoint(3.0, 0.7), CutPoint(3.2, 0.95)]
+    kept = nms_min_gap(pts, min_gap_s=1.0)
+    times = [p.t for p in kept]
+    assert times == sorted(times)
+    assert all(b - a >= 1.0 for a, b in zip(times, times[1:]))
+    # 3.2 has the highest score, so 3.0 must be suppressed
+    assert 3.2 in times and 3.0 not in times
+
+
+def test_nms_window_cap():
+    pts = [CutPoint(t, 0.5 + 0.01 * t) for t in np.arange(0.5, 9.5, 1.0)]
+    kept = nms_min_gap(pts, min_gap_s=0.5, max_per_window=2, window_s=10.0)
+    assert len(kept) == 2
+
+
+def test_nms_topk():
+    pts = [CutPoint(float(t), 1.0 - 0.01 * t) for t in range(20)]
+    kept = nms_min_gap(pts, min_gap_s=0.5, topk=5)
+    assert len(kept) == 5
+
+
+def test_zero_cross_snap():
+    sr = 1000
+    t = np.arange(sr, dtype=np.float64) / sr
+    wave = np.sin(2 * np.pi * 10 * t).astype(np.float32)  # zeros every 50 ms
+    snapped = align_to_zero_cross(wave, sr, 0.513, win_ms=30.0)
+    # nearest zero crossing of sin(2*pi*10 t) to 0.513 is 0.5 or 0.55 -> 0.5 is closer? |0.513-0.5|=13ms, |0.55-0.513|=37ms
+    assert abs(snapped - 0.5) < 0.002
+
+
+def test_finalize_guards_move_into_silence():
+    sr = 44100
+    audio = np.ones(sr * 4, dtype=np.float32) * 0.5
+    # true silence from 2.05s to 2.4s; raw cut at 2.0 (still loud)
+    audio[int(2.05 * sr):int(2.4 * sr)] = 0.0
+    # add tiny noise so zero-crossings exist
+    rng = np.random.default_rng(0)
+    audio += rng.standard_normal(audio.size).astype(np.float32) * 1e-4
+    res = finalize_cut_points(
+        CutContext(sr=sr, mix_wave=audio),
+        [CutPoint(2.0, 0.9)],
+        search_right_ms=450.0,
+        guard_db=1.5,
+        guard_win_ms=10.0,
+        floor_db=None,  # derive from percentile
+        min_gap_s=1.0,
+    )
+    assert len(res.final_points) == 1
+    t = res.final_points[0].t
+    assert 2.04 < t < 2.41  # moved rightward into the quiet zone
+    assert res.adjustments[0].final_shift_ms > 30
+
+
+def test_finalize_filters_boundaries_and_reports_suppressed():
+    sr = 8000
+    audio = np.random.default_rng(1).standard_normal(sr * 10).astype(np.float32) * 0.2
+    pts = [CutPoint(0.1, 0.5), CutPoint(5.0, 0.9), CutPoint(5.2, 0.4), CutPoint(9.95, 0.5)]
+    res = finalize_cut_points(
+        CutContext(sr=sr, mix_wave=audio), pts,
+        min_gap_s=1.0, min_boundary_s=0.5,
+        enable_mix_guard=False, enable_vocal_guard=False,
+    )
+    times = [p.t for p in res.final_points]
+    assert all(0.5 < t < 9.5 for t in times)
+    sup_times = {round(p.t, 2) for p in res.suppressed_points}
+    assert 5.2 in sup_times
+
+
+def test_finalize_empty_candidates():
+    sr = 8000
+    audio = np.zeros(sr, dtype=np.float32)
+    res = finalize_cut_points(CutContext(sr=sr, mix_wave=audio), [])
+    assert res.final_points == []
+    assert res.sample_boundaries == [0, sr]
+
+
+def test_guard_shift_stats():
+    from audio_cut_tpu.cutting.refine import CutAdjustment
+
+    adjs = [CutAdjustment(0, 0, 0.01, 1.0, 10.0, 10.0),
+            CutAdjustment(1, 1, 1.1, 1.0, 100.0, 100.0)]
+    stats = guard_shift_stats(adjs)
+    assert stats["count"] == 2
+    assert abs(stats["avg_ms"] - 55.0) < 1e-9
+    assert stats["max_ms"] == 100.0
