@@ -1,7 +1,300 @@
-"""v2.2_mdd / vpbd_* modes — wired in a later milestone."""
+"""v2.2_mdd / vpbd_* pipeline: pure-vocal pause detection -> guards -> layout.
+
+Parity: reference seamless_splitter.py:261-770 (_process_pure_vocal_split):
+separation -> VAD focus windows -> PureVocalPauseDetector (+MDD) -> pure-music
+span injection -> finalize_cut_points (NMS/zero-cross/guards) -> segment
+classification -> layout refinement -> local valley refine -> weak-tail merge
+-> sample-exact split -> export -> result dict with guard stats + precision
+guard.
+
+vpbd_acoustic / vpbd_asr route candidate generation through the
+VocalPhraseBoundaryDetector (unified pool + scorer + DP planner) before the
+shared guard/layout/export tail.
+"""
 
 from __future__ import annotations
 
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
 
-def process_pure_vocal_split(splitter, input_path, output_dir, *, mode, export_plan=None):
-    raise NotImplementedError(f"mode {mode!r} lands with the detection milestone")
+import numpy as np
+
+from audio_cut_tpu.analysis.features import build_track_features
+from audio_cut_tpu.config import get_config
+from audio_cut_tpu.cutting.layout import RescueCandidate, refine_layout
+from audio_cut_tpu.cutting.refine import (
+    CutContext,
+    CutPoint,
+    finalize_cut_points,
+    guard_shift_stats,
+)
+from audio_cut_tpu.detection.pause_detector import PureVocalPauseDetector
+from audio_cut_tpu.detection.vad import EnergyGateDetector, to_focus_windows
+from audio_cut_tpu.io.segment_export import ExportResult
+from audio_cut_tpu.pipeline.classify import (
+    classify_segments_vocal_presence,
+    merge_weak_human_tails,
+    pure_music_spans,
+)
+from audio_cut_tpu.pipeline.split import split_at_sample_level
+
+logger = logging.getLogger(__name__)
+
+
+def process_pure_vocal_split(
+    splitter,
+    input_path: str,
+    output_dir: str,
+    *,
+    mode: str,
+    export_plan: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    t0 = time.time()
+    sr = splitter.sample_rate
+    audio = splitter._load(input_path)
+    duration = len(audio) / float(sr)
+
+    # -- separation ---------------------------------------------------------
+    sep = splitter.separator.separate_for_detection(audio)
+    vocal = sep.vocal_track if sep.vocal_track is not None else audio
+    instrumental = sep.instrumental_track
+
+    # -- shared features (one fused device program) --------------------------
+    features = build_track_features(audio, sr)
+
+    # -- VAD focus windows ----------------------------------------------------
+    vad = EnergyGateDetector(sr).detect(vocal)
+    acfg = get_config("v2_mdd.advanced_vad", {}) or {}
+    focus = to_focus_windows(
+        vad.segments,
+        duration,
+        pad_s=float(acfg.get("focus_window_pad_s", 0.2)),
+        merge_gap_s=float(acfg.get("focus_merge_gap_s", 0.12)),
+        min_width_s=float(acfg.get("focus_window_min_width_s", 0.0)),
+    )
+
+    # -- candidates -------------------------------------------------------------
+    boundary_detection: Optional[Dict[str, Any]] = None
+    lyrics_alignment: Optional[Dict[str, Any]] = None
+    note: Optional[str] = None
+
+    if mode in ("vpbd_acoustic", "vpbd_asr"):
+        from audio_cut_tpu.detection.vpbd import VocalPhraseBoundaryDetector
+
+        detector = VocalPhraseBoundaryDetector(sr)
+        vres = detector.detect(
+            mode=mode,
+            vocal_audio=vocal,
+            features=features,
+            focus_windows=focus,
+            duration_s=duration,
+            output_dir=output_dir,
+        )
+        raw_points = [CutPoint(c.t, c.score, kind=c.source.value) for c in vres.selected]
+        boundary_detection = vres.to_meta()
+        lyrics_alignment = vres.lyrics_alignment
+        note = vres.note
+    else:
+        detector = PureVocalPauseDetector(sr)
+        pauses = detector.detect_pure_vocal_pauses(
+            vocal, features=features, focus_windows=focus, enable_mdd=True
+        )
+        raw_points = [
+            CutPoint(p.cut_point if p.cut_point > 0 else (p.start_time + p.end_time) / 2.0,
+                     float(np.clip(p.confidence, 0.0, 1.0)))
+            for p in pauses
+        ]
+
+    # pure-music span boundaries as extra candidates (intro/interlude/outro)
+    for span_start, span_end in pure_music_spans(vocal, sr):
+        for t in (span_start, span_end):
+            if 0.5 < t < duration - 0.5:
+                raw_points.append(CutPoint(float(t), 0.8, kind="music_span"))
+
+    # -- guard finalisation -------------------------------------------------------
+    qc = get_config("v2_mdd.quality_control", {}) or {}
+    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    vcfg = get_config("v2_mdd.pure_vocal_detection.valley_scoring", {}) or {}
+    refine_result = finalize_cut_points(
+        CutContext(sr=sr, mix_wave=audio, vocal_wave=vocal),
+        raw_points,
+        min_gap_s=float(qc.get("min_split_gap", 1.2)),
+        max_keep=int(vcfg.get("max_kept_after_nms", 200)) or None,
+        topk_per_10s=qc.get("nms_topk_per_10s"),
+        guard_db=float(eqc.get("guard_db", 1.5)),
+        search_right_ms=float(eqc.get("search_right_ms", 450)),
+        guard_win_ms=float(eqc.get("win_ms", 80)),
+        floor_db=eqc.get("floor_db_override"),
+        floor_percentile=float(eqc.get("floor_percentile", 0.5)),
+        enable_mix_guard=bool(eqc.get("enable", True)),
+        enable_vocal_guard=bool(eqc.get("enable", True)),
+    )
+
+    cut_times = [p.t for p in refine_result.final_points]
+    suppressed_sec = [p.t for p in refine_result.suppressed_points]
+
+    # -- layout refinement ------------------------------------------------------
+    layout_cfg = get_config("v2_mdd.segment_layout", {}) or {}
+    layout_applied = False
+    if layout_cfg.get("enable", True) and cut_times:
+        from audio_cut_tpu.ops.frames import frame_rms as _frame_rms  # noqa: PLC0415
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        hop = max(1, int(round(features.hop_s * sr)))
+        vocal_rms = np.asarray(_frame_rms(jnp.asarray(vocal, dtype=jnp.float32), 2048, hop))
+        vocal_rms_db = 20.0 * np.log10(vocal_rms + 1e-12)
+        rescue_pool = [
+            RescueCandidate(t=p.t, score=p.score) for p in refine_result.suppressed_points
+        ]
+        lres = refine_layout(
+            cut_times,
+            duration,
+            config=layout_cfg,
+            features=features,
+            vocal_rms_db=vocal_rms_db,
+            beat_times=features.beat_times,
+            suppressed=rescue_pool,
+        )
+        cut_times = lres.cut_times
+        layout_applied = True
+
+    # -- local valley boundary refine ----------------------------------------------
+    lbr = qc.get("local_boundary_refine", {}) or {}
+    if lbr.get("enable", True) and cut_times:
+        cut_times = _local_valley_refine(
+            cut_times, audio, sr,
+            radius_ms=float(lbr.get("search_radius_ms", 500)),
+            window_ms=float(lbr.get("window_ms", 5)),
+            min_drop_db=float(lbr.get("min_drop_db", 5.0)),
+        )
+
+    # -- classification + weak-tail merge -------------------------------------------
+    cut_samples = sorted({0, len(audio), *(
+        int(round(t * sr)) for t in cut_times if 0 < int(round(t * sr)) < len(audio)
+    )})
+    flags, debug = classify_segments_vocal_presence(vocal, cut_samples, sr)
+    cut_samples, flags, debug = merge_weak_human_tails(list(cut_samples), flags, debug, sr)
+
+    # single-segment fallback (reference :2682-2747)
+    if len(cut_samples) < 3:
+        cut_samples = [0, len(audio)]
+        if not flags:
+            flags = [True]
+            debug = [{"index": 0, "decision": True, "reason": "single_segment_fallback"}]
+        note = note or "single_segment_fallback"
+
+    # -- split + export ---------------------------------------------------------------
+    segments, flags_out, debug_out = split_at_sample_level(
+        audio, cut_samples, sr, segment_flags=flags, debug_entries=debug
+    )
+    flags_out = flags_out or flags
+    seg_durations = [len(s) / float(sr) for s in segments]
+
+    export_flags = splitter._normalize_export_plan(export_plan, default=("mix_segments",))
+    export_result = ExportResult()
+    if "mix_segments" in export_flags:
+        export_result.mix_segment_files = splitter.segment_exporter.export_segments(
+            segments, output_dir,
+            segment_is_vocal=flags_out,
+            export_format=splitter._export_format,
+            export_options=splitter._export_options,
+        )
+        export_result.saved_files.extend(export_result.mix_segment_files)
+    if "vocal_segments" in export_flags and sep.vocal_track is not None:
+        vsegs, _, _ = split_at_sample_level(sep.vocal_track, cut_samples, sr)
+        export_result.vocal_segment_files = splitter.segment_exporter.export_segments(
+            vsegs, output_dir,
+            segment_is_vocal=flags_out,
+            export_format=splitter._export_format,
+            export_options=splitter._export_options,
+            subdir="segments_vocal",
+            file_suffix="_vocal",
+        )
+        export_result.saved_files.extend(export_result.vocal_segment_files)
+    if "full_vocal" in export_flags and sep.vocal_track is not None:
+        dur = len(sep.vocal_track) / float(sr)
+        export_result.full_vocal_file = splitter.segment_exporter.export_full_track(
+            sep.vocal_track,
+            Path(output_dir) / f"{Path(input_path).stem}_vocal_{dur:.1f}",
+            export_format=splitter._export_format,
+            export_options=splitter._export_options,
+        )
+        export_result.saved_files.append(export_result.full_vocal_file)
+    if "full_instrumental" in export_flags and instrumental is not None:
+        dur = len(instrumental) / float(sr)
+        export_result.full_instrumental_file = splitter.segment_exporter.export_full_track(
+            instrumental,
+            Path(output_dir) / f"{Path(input_path).stem}_instrumental_{dur:.1f}",
+            export_format=splitter._export_format,
+            export_options=splitter._export_options,
+        )
+        export_result.saved_files.append(export_result.full_instrumental_file)
+
+    # -- result ----------------------------------------------------------------------
+    stats = guard_shift_stats(refine_result.adjustments)
+    precision_ok = splitter.result_builder.check_precision_guard(stats)
+
+    result = splitter.result_builder.build_base(
+        method=mode,
+        export_result=export_result,
+        export_plan=sorted(export_flags),
+        processing_time=time.time() - t0,
+        input_path=input_path,
+        output_dir=output_dir,
+        cut_points_samples=list(cut_samples),
+        cut_points_sec=[s / float(sr) for s in cut_samples],
+        segment_durations=seg_durations,
+        segment_vocal_flags=flags_out,
+        precision_guard_ok=precision_ok,
+        include_precision_guard_threshold=True,
+        guard_shift_stats=stats,
+        guard_adjustments=[a.to_dict() for a in refine_result.adjustments],
+        segment_classification_debug=debug_out,
+        lyrics_alignment=lyrics_alignment,
+        boundary_detection=boundary_detection,
+        suppressed_cut_points_sec=suppressed_sec,
+    )
+    result["segment_layout_applied"] = layout_applied
+    if note:
+        result["note"] = note
+    return splitter.result_builder.add_separation_metadata(result, sep)
+
+
+def _local_valley_refine(
+    cut_times: List[float],
+    audio: np.ndarray,
+    sr: int,
+    *,
+    radius_ms: float,
+    window_ms: float,
+    min_drop_db: float,
+) -> List[float]:
+    """Move each cut to a nearby strictly-quieter local valley.
+
+    Parity: reference seamless_splitter.py:2613-2680.
+    """
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    from audio_cut_tpu.ops.frames import moving_rms_db  # noqa: PLC0415
+
+    if not cut_times:
+        return cut_times
+    win = max(1, int(round(window_ms / 1000.0 * sr)))
+    env_db = np.asarray(moving_rms_db(jnp.asarray(audio, dtype=jnp.float32), win))
+    radius = max(1, int(round(radius_ms / 1000.0 * sr)))
+    n = env_db.size
+
+    out: List[float] = []
+    for t in cut_times:
+        idx = int(np.clip(round(t * sr), 0, n - 1))
+        lo = max(0, idx - radius)
+        hi = min(n, idx + radius)
+        local = env_db[lo:hi]
+        best = int(np.argmin(local)) + lo
+        if env_db[idx] - env_db[best] >= min_drop_db:
+            out.append(best / float(sr))
+        else:
+            out.append(t)
+    return sorted(out)

@@ -56,7 +56,10 @@ class SpectralMaskBackend:
         cfg = get_config("enhanced_separation.spectral", {}) or {}
         self.kernel_t = int(cfg.get("kernel_t", 31))
         self.kernel_f = int(cfg.get("kernel_f", 31))
-        self.power = float(cfg.get("hpss_power", 2.0))
+        power = float(cfg.get("hpss_power", 2.0))
+        # integral exponents MUST stay ints: jnp.power with a float constant
+        # exponent lowers to exp/log and blows XLA CPU compile time ~12x
+        self.power = int(power) if power == int(power) else power
         vs = get_config("vocal_separation", {}) or {}
         self.vocal_freq = (float(vs.get("vocal_freq_min", 100)), float(vs.get("vocal_freq_max", 4000)))
         self.vocal_core = (float(vs.get("vocal_core_min", 200)), float(vs.get("vocal_core_max", 1000)))
