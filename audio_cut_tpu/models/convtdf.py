@@ -1,0 +1,253 @@
+"""Conv-TDF spectrogram mask network — the flagship separation model.
+
+Role parity: the MDX23 `Conv_TDF_net_trim` ONNX net the reference drives
+through onnxruntime (reference src/audio_cut/separation/backends.py:90-388,
+n_fft=6144, hop=1024, STFT -> mask -> iSTFT, vocal/instrumental by
+subtraction). This is a ground-up Flax implementation of the same model
+family — a U-Net over the complex spectrogram whose bottleneck blocks contain
+TDF (time-distributed fully-connected) layers mixing the frequency axis —
+NOT a weight-compatible port.
+
+TPU-first design choices:
+
+* activations are laid out [B, T, F, C] so frequency (the largest axis) is
+  adjacent to channels for MXU-friendly 1x1/dense mixing; all convs are NHWC;
+* TDF layers are dense matmuls over F — they land on the MXU directly;
+* bfloat16 activations with float32 params/outputs;
+* the whole window (dim_t STFT frames) is processed in one static-shape
+  program; the chunked OLA engine feeds fixed windows, so one compile serves
+  any track length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_cut_tpu.config import get_config
+from audio_cut_tpu.ops.stft import hann_window
+
+
+class TDF(nn.Module):
+    """Time-distributed frequency MLP: dense bottleneck across the F axis."""
+
+    bottleneck: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, F, C]
+        b, t, f, c = x.shape
+        y = jnp.swapaxes(x, -1, -2)                      # [B, T, C, F]
+        y = nn.Dense(self.bottleneck, dtype=x.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(f, dtype=x.dtype)(y)
+        y = jnp.swapaxes(y, -1, -2)
+        return y
+
+
+class ConvBlock(nn.Module):
+    channels: int
+    tdf_bottleneck: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=x.dtype)(x)
+        y = nn.GroupNorm(num_groups=4, dtype=x.dtype)(y)
+        y = nn.gelu(y)
+        if self.tdf_bottleneck:
+            y = y + TDF(self.tdf_bottleneck, self.channels)(y)
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", dtype=x.dtype)(y)
+        y = nn.GroupNorm(num_groups=4, dtype=x.dtype)(y)
+        y = nn.gelu(y)
+        return y
+
+
+class ConvTDFNet(nn.Module):
+    """U-Net over [B, T, F, 2] (real/imag) predicting a complex ratio mask."""
+
+    channels: int = 24
+    depth: int = 3
+    tdf_bottleneck: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, spec_ri: jnp.ndarray) -> jnp.ndarray:
+        x = spec_ri.astype(self.dtype)
+        skips = []
+        ch = self.channels
+        x = ConvBlock(ch, self.tdf_bottleneck)(x)
+        for _ in range(self.depth):
+            skips.append(x)
+            x = nn.Conv(ch * 2, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
+            ch *= 2
+            x = ConvBlock(ch, self.tdf_bottleneck)(x)
+        x = ConvBlock(ch, self.tdf_bottleneck)(x)       # bottleneck
+        for _ in range(self.depth):
+            ch //= 2
+            x = nn.ConvTranspose(ch, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
+            skip = skips.pop()
+            x = x[:, :skip.shape[1], :skip.shape[2], :]
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(ch, self.tdf_bottleneck)(x)
+        mask = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32)(x)
+        return mask.astype(jnp.float32)                  # [B, T, F, 2]
+
+
+def apply_complex_mask(spec: jnp.ndarray, mask_ri: jnp.ndarray) -> jnp.ndarray:
+    """Complex ratio mask: (mr + i*mi) * spec."""
+    mr = mask_ri[..., 0]
+    mi = mask_ri[..., 1]
+    return (mr + 1j * mi).astype(jnp.complex64) * spec
+
+
+class ConvTDFSeparator:
+    """Functional wrapper: waveform window -> (vocal, instrumental).
+
+    Static geometry: n_fft, hop, dim_f (cropped bins), dim_t (frames/window).
+    """
+
+    def __init__(
+        self,
+        sample_rate: int,
+        n_fft: int = 6144,
+        hop: int = 1024,
+        dim_f: int = 2048,
+        dim_t: int = 256,
+        channels: int = 24,
+        depth: int = 3,
+        tdf_bottleneck: int = 64,
+    ) -> None:
+        self.sr = sample_rate
+        self.n_fft = n_fft
+        self.hop = hop
+        self.dim_f = dim_f
+        self.dim_t = dim_t
+        self.window_samples = (dim_t - 1) * hop
+        self.net = ConvTDFNet(channels=channels, depth=depth, tdf_bottleneck=tdf_bottleneck)
+
+    def init_params(self, rng: jax.Array) -> Any:
+        dummy = jnp.zeros((1, self.dim_t, self.dim_f, 2), jnp.float32)
+        return self.net.init(rng, dummy)["params"]
+
+    # -- pure fns (jit/pjit these) -----------------------------------------
+
+    def spec_forward(self, params: Any, spec_ri: jnp.ndarray) -> jnp.ndarray:
+        """Mask prediction on a [B, T, F, 2] real/imag spectrogram crop."""
+        return self.net.apply({"params": params}, spec_ri)
+
+    def analyze(self, audio: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """waveform [B, S] -> (full complex spec [B, T, Fall], cropped RI [B, T, F, 2])."""
+        from audio_cut_tpu.ops.stft import stft
+
+        spec = stft(audio, n_fft=self.n_fft, hop=self.hop, center=True)
+        spec = spec[..., :self.dim_t, :]                  # [B, T, Fall]
+        crop = spec[..., :self.dim_f]
+        ri = jnp.stack([crop.real, crop.imag], axis=-1).astype(jnp.float32)
+        return spec, ri
+
+    def synthesize(self, spec_full: jnp.ndarray, mask_ri: jnp.ndarray, length: int) -> jnp.ndarray:
+        from audio_cut_tpu.ops.stft import istft
+
+        masked = apply_complex_mask(spec_full[..., :self.dim_f], mask_ri)
+        rest = jnp.zeros_like(spec_full[..., self.dim_f:])
+        full = jnp.concatenate([masked, rest], axis=-1)
+        return istft(full, n_fft=self.n_fft, hop=self.hop, length=length)
+
+    def separate_fn(self, params: Any, audio: jnp.ndarray, length: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        spec, ri = self.analyze(audio)
+        mask = self.spec_forward(params, ri)
+        vocal = self.synthesize(spec, mask, length)
+        return vocal, audio[..., :length] - vocal
+
+
+class ConvTDFBackend:
+    """Engine-facing backend (same seam as SpectralMaskBackend)."""
+
+    name = "convtdf"
+
+    def __init__(self, sample_rate: int):
+        cfg = get_config("enhanced_separation.convtdf", {}) or {}
+        self.sample_rate = int(sample_rate)
+        self.sep = ConvTDFSeparator(
+            sample_rate,
+            n_fft=int(cfg.get("n_fft", 6144)),
+            hop=int(cfg.get("hop", 1024)),
+            dim_f=int(cfg.get("dim_f", 2048)),
+            dim_t=int(cfg.get("dim_t", 256)),
+            channels=int(cfg.get("channels", 24)),
+            depth=int(cfg.get("num_blocks", 9)) // 3,
+            tdf_bottleneck=int(cfg.get("tdf_bottleneck", 64)),
+        )
+        ckpt = cfg.get("checkpoint")
+        if ckpt:
+            self.params = load_checkpoint(ckpt)
+        else:
+            self.params = self.sep.init_params(jax.random.PRNGKey(0))
+        self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
+
+    def _tiled_separate(self, params: Any, x: jnp.ndarray, length: int):
+        """Tile a long window into BATCHED model windows (50% overlap,
+        triangular cross-fade OLA) — one MXU-friendly batched forward."""
+        target = self.sep.window_samples
+        stride = target // 2
+        n = max(1, -(-(max(length - target, 0)) // stride) + 1)
+        padded_len = (n - 1) * stride + target
+        xp = jnp.pad(x, (0, padded_len - x.shape[-1]))
+        # dense framing: stride divides target (target = 2*stride)
+        cols = [
+            jax.lax.slice_in_dim(xp, r * stride, r * stride + n * stride).reshape(n, stride)
+            for r in range(2)
+        ]
+        windows = jnp.concatenate(cols, axis=-1)                     # [n, target]
+        vocal_w, _ = self.sep.separate_fn(params, windows, target)   # batched forward
+
+        weight = jnp.concatenate([
+            jnp.linspace(0.0, 1.0, stride, endpoint=False) + 1e-3,
+            jnp.linspace(1.0, 0.0, stride, endpoint=False) + 1e-3,
+        ]).astype(jnp.float32)
+        weighted = vocal_w * weight[None, :]
+        acc = jnp.zeros(padded_len, jnp.float32)
+        wacc = jnp.zeros(padded_len, jnp.float32)
+        blocks = weighted.reshape(n, 2, stride)
+        wblocks = jnp.broadcast_to(weight.reshape(2, stride), (n, 2, stride))
+        for r in range(2):
+            flat = blocks[:, r, :].reshape(n * stride)
+            wflat = wblocks[:, r, :].reshape(n * stride)
+            cur = jax.lax.dynamic_slice_in_dim(acc, r * stride, n * stride)
+            acc = jax.lax.dynamic_update_slice_in_dim(acc, cur + flat, r * stride, axis=0)
+            wcur = jax.lax.dynamic_slice_in_dim(wacc, r * stride, n * stride)
+            wacc = jax.lax.dynamic_update_slice_in_dim(wacc, wcur + wflat, r * stride, axis=0)
+        vocal = (acc / jnp.maximum(wacc, 1e-6))[:length]
+        return vocal, x[:length] - vocal
+
+    def separate_window(self, window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._tiled(self.params, window, int(window.shape[-1]))
+
+    def separate(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole-track separation by internal fixed windows with OLA."""
+        from audio_cut_tpu.separation.engine import SeparationEngine
+
+        eng = SeparationEngine.__new__(SeparationEngine)  # reuse OLA machinery
+        eng.sample_rate = self.sample_rate
+        eng.chunk_s = self.sep.window_samples / self.sample_rate
+        eng.overlap_s = min(2.5, eng.chunk_s / 4)
+        eng.halo_s = min(0.5, eng.chunk_s / 12)
+        eng.align = self.sep.hop
+        eng.enable_fallback = False
+        eng._backend = self
+        eng._backend_name = self.name
+        v, i, _ = eng.separate_chunked(audio)
+        return v, i
+
+
+def load_checkpoint(path: str) -> Any:
+    """Load params from an orbax/msgpack checkpoint directory or file."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

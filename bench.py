@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""End-to-end benchmark: audio-seconds per wall-second (xRT) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Benchmark config = the reference's default path (v2.2_mdd: separation +
+pause detection + guards + layout + export) on a synthetic 60 s song,
+measured WARM (second run in-process; compile amortises across tracks in
+production). `vs_baseline` compares against the reference's own headline
+separation throughput target of 0.7x realtime on GPU
+(reference README.md:138, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REFERENCE_XRT = 0.7  # reference GPU target: >=0.7x realtime end-to-end
+
+
+def _tunnel_healthy(timeout_s: int = 60) -> bool:
+    """The axon TPU tunnel wedges for minutes after killed clients; probe it."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready();print('OK')"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return b"OK" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def make_song(duration_s: float, sr: int = 44100, seed: int = 7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(duration_s * sr)
+    t = np.arange(n) / sr
+    audio = np.zeros(n)
+    for b in np.arange(0.0, duration_s, 0.5):
+        i = int(b * sr)
+        env = np.exp(-np.arange(min(2000, n - i)) / 300.0)
+        audio[i:i + env.size] += 0.10 * env * rng.standard_normal(env.size)
+    ph = 0.5
+    while ph + 3.0 < duration_s:
+        s, e = ph, ph + 2.4
+        seg = (t >= s) & (t < e)
+        f0 = 220.0 * (1 + 0.01 * np.sin(2 * np.pi * 5.5 * t[seg]))
+        x = np.zeros(seg.sum())
+        for h in range(1, 5):
+            x += np.sin(2 * np.pi * h * np.cumsum(f0) / sr) / h
+        audio[seg] += 0.4 * x
+        ph = e + 1.0
+    peak = np.abs(audio).max()
+    return (0.9 * audio / peak).astype(np.float32), sr
+
+
+def main() -> None:
+    import platform
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+        for attempt in range(6):
+            if _tunnel_healthy():
+                break
+            time.sleep(30)
+
+    from audio_cut_tpu import separate_and_segment
+    from audio_cut_tpu.io import write_wav
+
+    duration = float(os.environ.get("BENCH_DURATION_S", "60"))
+    audio, sr = make_song(duration)
+
+    with tempfile.TemporaryDirectory() as td:
+        song = os.path.join(td, "bench_song.wav")
+        write_wav(song, audio, sr)
+
+        # warm-up run: compiles every kernel (one-time cost per process)
+        separate_and_segment(
+            input_uri=song, export_dir=os.path.join(td, "warmup"), mode="v2.2_mdd"
+        )
+        # measured run
+        t0 = time.time()
+        manifest = separate_and_segment(
+            input_uri=song, export_dir=os.path.join(td, "out"), mode="v2.2_mdd"
+        )
+        wall = time.time() - t0
+
+    xrt = duration / wall
+    assert manifest["success"], "bench pipeline failed"
+    print(json.dumps({
+        "metric": "e2e_xrt_v2.2_mdd_warm",
+        "value": round(xrt, 3),
+        "unit": "audio_s_per_wall_s",
+        "vs_baseline": round(xrt / REFERENCE_XRT, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

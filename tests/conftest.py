@@ -14,6 +14,16 @@ if not os.environ.get("AUDIO_CUT_TPU_TEST_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # pytest plugins (jaxtyping & co.) import jax BEFORE this conftest runs,
+    # which freezes config defaults from the ambient env (JAX_PLATFORMS=axon
+    # under the TPU tunnel). Force the values through the config API too.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # older knob; XLA_FLAGS fallback above covers it
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
