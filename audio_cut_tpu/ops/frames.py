@@ -11,6 +11,7 @@ reductions and batched FFTs), which XLA fuses and tiles for the VPU/MXU.
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,14 +20,40 @@ from audio_cut_tpu.ops.stft import stft
 
 _EPS = 1e-10
 
+# NUMERICS NOTE: windowed sums must NOT be computed as differences of a
+# global float32 prefix sum — on a loud multi-minute track the prefix reaches
+# ~1e4-1e5 while a quiet window's true energy is ~1e-7, so the subtraction
+# cancels catastrophically (observed: negative sums -> NaN RMS). Every kernel
+# here instead sums each window DIRECTLY (gathered frames + pairwise jnp.sum),
+# whose error scales with the window's own energy only.
 
-def _window_sum(cumsum: jnp.ndarray, starts: jnp.ndarray, width: int) -> jnp.ndarray:
-    """Sum over [start, start+width) windows given an inclusive prefix sum
-    with a leading zero (shape T+1)."""
-    t = cumsum.shape[-1] - 1
-    lo = jnp.clip(starts, 0, t)
-    hi = jnp.clip(starts + width, 0, t)
-    return jnp.take(cumsum, hi, axis=-1) - jnp.take(cumsum, lo, axis=-1)
+
+def _strided_window_sums(x: jnp.ndarray, window: int, stride: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sums, counts) of centered [i*stride - window//2, +window) windows.
+
+    x: [..., T]; output: [..., T//stride + 1]. Zero-padded at the edges;
+    counts reflect the true in-bounds sample count.
+    """
+    t = x.shape[-1]
+    n = t // stride + 1
+    half = window // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, window)])
+    if window % stride == 0 and stride <= window:
+        ratio = window // stride
+        cols = []
+        for r in range(ratio):
+            seg = jax.lax.slice_in_dim(xp, r * stride, r * stride + n * stride, axis=-1)
+            cols.append(seg.reshape(x.shape[:-1] + (n, stride)))
+        frames = jnp.concatenate(cols, axis=-1)
+    else:
+        idx = jnp.arange(n)[:, None] * stride + jnp.arange(window)[None, :]
+        frames = jnp.take(xp, idx, axis=-1)
+    sums = jnp.sum(frames, axis=-1)
+    centers = jnp.arange(n) * stride
+    lo = jnp.clip(centers - half, 0, t)
+    hi = jnp.clip(centers - half + window, 0, t)
+    counts = jnp.maximum(hi - lo, 1).astype(jnp.float32)
+    return sums, counts
 
 
 @functools.partial(jax.jit, static_argnames=("frame_length", "hop"))
@@ -35,18 +62,14 @@ def frame_rms(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
 
     n_frames = T // hop + 1, frame i centered at i*hop.
     """
-    t = x.shape[-1]
-    n = t // hop + 1
     sq = jnp.square(x.astype(jnp.float32))
-    cs = jnp.concatenate(
-        [jnp.zeros(x.shape[:-1] + (1,), jnp.float32), jnp.cumsum(sq, axis=-1)], axis=-1
-    )
-    starts = jnp.arange(n) * hop - frame_length // 2
-    lo = jnp.clip(starts, 0, t)
-    hi = jnp.clip(starts + frame_length, 0, t)
-    counts = jnp.maximum(hi - lo, 1).astype(jnp.float32)
-    sums = jnp.take(cs, hi, axis=-1) - jnp.take(cs, lo, axis=-1)
-    return jnp.sqrt(sums / counts + _EPS)
+    sums, counts = _strided_window_sums(sq, frame_length, hop)
+    return jnp.sqrt(jnp.maximum(sums, 0.0) / counts + _EPS)
+
+
+# moving_rms_db evaluates on a ~0.7 ms grid and nearest-holds back to
+# per-sample; guards operate on >=5 ms windows so this is lossless for them
+_MOVING_RMS_STRIDE = 32
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -54,17 +77,32 @@ def moving_rms_db(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """Per-sample moving-window RMS in dB (same length as x, 'same' alignment).
 
     Powers the O(1) quiet-guard lookup (parity: reference
-    src/audio_cut/cutting/refine.py:161-181).
+    src/audio_cut/cutting/refine.py:161-181). Two-level local summation:
+    samples -> stride-sized bins (exact reshape sums) -> windowed bin sums,
+    nearest-held back to per-sample. No global prefix sums anywhere.
     """
     t = x.shape[-1]
+    stride = min(_MOVING_RMS_STRIDE, max(1, window // 4))
     sq = jnp.square(x.astype(jnp.float32))
-    cs = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(sq)], axis=-1)
-    starts = jnp.arange(t) - window // 2
-    lo = jnp.clip(starts, 0, t)
-    hi = jnp.clip(starts + window, 0, t)
-    counts = jnp.maximum(hi - lo, 1).astype(jnp.float32)
-    rms = jnp.sqrt((jnp.take(cs, hi) - jnp.take(cs, lo)) / counts + 1e-24)
-    return 20.0 * jnp.log10(rms + 1e-12)
+    if stride == 1:
+        sums, counts = _strided_window_sums(sq, window, 1)
+        rms = jnp.sqrt(jnp.maximum(sums, 0.0) / counts + 1e-24)
+        return (20.0 * jnp.log10(rms + 1e-12))[..., :t]
+
+    nb = -(-t // stride)
+    pad = nb * stride - t
+    sq_b = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(0, pad)]).reshape(x.shape[:-1] + (nb, stride))
+    bins = jnp.sum(sq_b, axis=-1)
+    cnt_b = jnp.pad(jnp.ones((t,), jnp.float32), (0, pad)).reshape(nb, stride).sum(-1)
+
+    wb = max(1, int(round(window / stride)))
+    sums, _ = _strided_window_sums(bins, wb, 1)
+    counts, _ = _strided_window_sums(cnt_b, wb, 1)
+    sums = sums[..., :nb]
+    counts = jnp.maximum(counts[..., :nb], 1.0)
+    rms = jnp.sqrt(jnp.maximum(sums, 0.0) / counts + 1e-24)
+    db = 20.0 * jnp.log10(rms + 1e-12)
+    return jnp.repeat(db, stride, axis=-1)[..., :t]
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
@@ -105,15 +143,8 @@ def mdd_series(rms: jnp.ndarray, flatness: jnp.ndarray, onset: jnp.ndarray) -> j
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def smooth(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """Centered moving average along the last axis."""
+    """Centered moving average along the last axis (feature-grid sized)."""
     if window <= 1:
         return x
-    t = x.shape[-1]
-    cs = jnp.concatenate(
-        [jnp.zeros(x.shape[:-1] + (1,), x.dtype), jnp.cumsum(x, axis=-1)], axis=-1
-    )
-    starts = jnp.arange(t) - window // 2
-    lo = jnp.clip(starts, 0, t)
-    hi = jnp.clip(starts + window, 0, t)
-    counts = jnp.maximum(hi - lo, 1).astype(x.dtype)
-    return (jnp.take(cs, hi, axis=-1) - jnp.take(cs, lo, axis=-1)) / counts
+    sums, counts = _strided_window_sums(x.astype(jnp.float32), window, 1)
+    return (sums / counts)[..., :x.shape[-1]].astype(x.dtype)

@@ -80,6 +80,7 @@ def process_pure_vocal_split(
     lyrics_alignment: Optional[Dict[str, Any]] = None
     note: Optional[str] = None
 
+    vres = None
     if mode in ("vpbd_acoustic", "vpbd_asr"):
         from audio_cut_tpu.detection.vpbd import VocalPhraseBoundaryDetector
 
@@ -93,6 +94,9 @@ def process_pure_vocal_split(
             output_dir=output_dir,
         )
         raw_points = [CutPoint(c.t, c.score, kind=c.source.value) for c in vres.selected]
+        if not raw_points and vres.plan.rescue_points:
+            # planner infeasible: even-division rescue times stand in
+            raw_points = [CutPoint(t, 0.5, kind="rescue") for t in vres.plan.rescue_points]
         boundary_detection = vres.to_meta()
         lyrics_alignment = vres.lyrics_alignment
         note = vres.note
@@ -134,6 +138,12 @@ def process_pure_vocal_split(
 
     cut_times = [p.t for p in refine_result.final_points]
     suppressed_sec = [p.t for p in refine_result.suppressed_points]
+
+    if vres is not None and boundary_detection is not None:
+        from audio_cut_tpu.cutting.planner import apply_guard_shift_metadata
+
+        plan_with_shifts = apply_guard_shift_metadata(vres.plan, refine_result.adjustments)
+        boundary_detection["planner"] = dict(plan_with_shifts.metadata)
 
     # -- layout refinement ------------------------------------------------------
     layout_cfg = get_config("v2_mdd.segment_layout", {}) or {}
