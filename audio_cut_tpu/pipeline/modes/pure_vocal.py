@@ -81,7 +81,9 @@ def process_pure_vocal_split(
     note: Optional[str] = None
 
     vres = None
+    auto_profile_meta: Optional[Dict[str, Any]] = None
     if mode in ("vpbd_acoustic", "vpbd_asr"):
+        auto_profile_meta = _apply_smart_cut_runtime(features)
         from audio_cut_tpu.detection.vpbd import VocalPhraseBoundaryDetector
 
         detector = VocalPhraseBoundaryDetector(sr)
@@ -269,7 +271,67 @@ def process_pure_vocal_split(
     result["segment_layout_applied"] = layout_applied
     if note:
         result["note"] = note
+    if auto_profile_meta is not None:
+        result["auto_profile"] = auto_profile_meta
     return splitter.result_builder.add_separation_metadata(result, sep)
+
+
+def _apply_smart_cut_runtime(features) -> Optional[Dict[str, Any]]:
+    """Resolve the v2.8 intent surface into runtime overrides.
+
+    Parity: reference seamless_splitter.py:772-848 (_apply_smart_cut_runtime):
+    intent resolve -> AutoProfile estimate_style (profile=auto) or explicit
+    style profile -> alignment-pole lerp -> set_runtime_config.
+    """
+    from audio_cut_tpu.config import get_config, get_runtime_override_keys, set_runtime_config
+    from audio_cut_tpu.config.auto_profile import (
+        build_auto_profile_overrides,
+        derive_alignment_overrides,
+        derive_smart_cut_overrides,
+        estimate_style,
+        profile_override_map,
+        resolve_smart_cut_intent,
+    )
+
+    smart_cut = get_config("smart_cut", {}) or {}
+    explicit = get_runtime_override_keys()
+    try:
+        intent = resolve_smart_cut_intent(smart_cut, explicit_keys=explicit)
+    except ValueError as exc:
+        logger.warning("invalid smart_cut intent (%s); using defaults", exc)
+        return None
+
+    overrides: Dict[str, Any] = {}
+    meta: Dict[str, Any] = {"intent": intent}
+
+    profile = intent["profile"]
+    if profile == "auto":
+        est = estimate_style(features)
+        auto = build_auto_profile_overrides(est, cut_style=str(smart_cut.get("cut_style", "natural")))
+        meta["auto_profile"] = auto.pop("meta.auto_profile", {})
+        auto.pop("meta.profile", None)
+        overrides.update(auto)
+    elif profile in ("ballad", "pop", "edm", "rap"):
+        try:
+            overrides.update(profile_override_map(profile))
+            meta["profile"] = profile
+        except FileNotFoundError:
+            logger.warning("unknown style profile %r", profile)
+
+    style_weights = get_config("phrase_boundary.weights", {}) or {}
+    for key, value in list(overrides.items()):
+        if key.startswith("phrase_boundary.weights."):
+            style_weights[key.split(".")[-1]] = value
+    overrides.update(derive_alignment_overrides(
+        intent["alignment"], style_weights,
+        alignment_poles=get_config("phrase_boundary.alignment_poles", {}),
+    ))
+    overrides.update(derive_smart_cut_overrides(smart_cut, explicit_keys=explicit))
+
+    if overrides:
+        set_runtime_config(overrides)
+    meta["applied_override_count"] = len(overrides)
+    return meta
 
 
 def _local_valley_refine(

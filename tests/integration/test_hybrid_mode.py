@@ -1,0 +1,28 @@
+import numpy as np
+import pytest
+
+from audio_cut_tpu.api import separate_and_segment
+from audio_cut_tpu.io import read_wav, write_wav
+
+
+def test_hybrid_mdd_end_to_end(tmp_path, song_audio):
+    audio, sr = song_audio
+    p = tmp_path / "song.wav"
+    write_wav(p, audio, sr, subtype="FLOAT")
+    out = tmp_path / "out"
+    manifest = separate_and_segment(
+        input_uri=str(p), export_dir=str(out), mode="hybrid_mdd", export_manifest=True,
+    )
+    assert manifest["success"]
+    assert manifest["stats"]["num_segments"] >= 1
+
+    # hybrid metadata present
+    raw = manifest  # manifest carries the result-derived fields via sections
+    # exported names carry _lib for beat-aligned segments when any
+    files = sorted(f.name for f in out.glob("segment_*.wav"))
+    assert files
+    # reconstruction exact
+    pieces = [read_wav(out / s["mix_path"])[0] for s in manifest["segments"]]
+    recon = np.concatenate(pieces)
+    q = np.round(np.clip(audio, -1, 1).astype(np.float64) * 8388607.0) / 8388607.0
+    assert np.max(np.abs(recon.astype(np.float64) - q)) <= 1.0 / 8388607.0
