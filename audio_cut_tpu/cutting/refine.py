@@ -78,12 +78,32 @@ def _ensure_mono(wave: Optional[np.ndarray]) -> Optional[np.ndarray]:
 
 
 class QuietLookup:
-    """Whole-track per-sample RMS-dB computed on device, queried on host."""
+    """Track RMS-dB grid queried on host for rightward quiet searches.
 
-    def __init__(self, wave: np.ndarray, sr: int, window_ms: float, floor_db: Optional[float], floor_percentile: float = 0.5):
-        win = max(1, int(round(window_ms / 1000.0 * sr)))
+    The grid may be decimated by ``stride`` samples (the detection bundle
+    supplies stride-32 grids; guards operate on >=5 ms windows so decimation
+    is lossless for them).
+    """
+
+    def __init__(
+        self,
+        wave: Optional[np.ndarray] = None,
+        sr: int = 44100,
+        window_ms: float = 10.0,
+        floor_db: Optional[float] = -60.0,
+        floor_percentile: float = 0.5,
+        *,
+        db_grid: Optional[np.ndarray] = None,
+        stride: int = 1,
+    ):
         self.sr = sr
-        self.rms_db = np.asarray(moving_rms_db(jnp.asarray(wave), win))
+        if db_grid is not None:
+            self.rms_db = np.asarray(db_grid)
+            self.stride = int(stride)
+        else:
+            win = max(1, int(round(window_ms / 1000.0 * sr)))
+            self.rms_db = np.asarray(moving_rms_db(jnp.asarray(wave), win))
+            self.stride = 1
         if floor_db is None:
             floor_db = float(np.percentile(self.rms_db, floor_percentile))
         self.floor_db = float(floor_db)
@@ -93,8 +113,9 @@ class QuietLookup:
         if times.size == 0:
             return times
         n = self.rms_db.size
-        span = max(1, int(round(max_shift_ms / 1000.0 * self.sr)))
-        idx = np.clip(np.round(times * self.sr).astype(np.int64), 0, n - 1)
+        grid_sr = self.sr / self.stride
+        span = max(1, int(round(max_shift_ms / 1000.0 * grid_sr)))
+        idx = np.clip(np.round(times * grid_sr).astype(np.int64), 0, n - 1)
         offs = np.arange(span)
         win_idx = np.minimum(idx[:, None] + offs[None, :], n - 1)       # [K, span]
         win_db = self.rms_db[win_idx]
@@ -107,7 +128,7 @@ class QuietLookup:
             & (target_db <= self.floor_db)
             & (target_idx != idx)
         )
-        out = np.where(accept, target_idx.astype(np.float64) / self.sr, times)
+        out = np.where(accept, target_idx.astype(np.float64) / grid_sr, times)
         return out
 
 
@@ -214,6 +235,8 @@ def finalize_cut_points(
     enable_vocal_guard: bool = True,
     zero_cross_win_ms: float = 8.0,
     min_boundary_s: float = 0.5,
+    vocal_lookup: Optional[QuietLookup] = None,
+    mix_lookup: Optional[QuietLookup] = None,
 ) -> CutRefineResult:
     """NMS -> zero-cross snap -> vocal quiet guard -> mix guard -> filter."""
     sr = ctx.sr
@@ -241,13 +264,13 @@ def finalize_cut_points(
     if use_vocal_guard_first and vocal is not None and vocal.size:
         guard_times = align_to_zero_cross_many(vocal, sr, guard_times, zero_cross_win_ms)
         if enable_vocal_guard:
-            vlook = QuietLookup(vocal, sr, guard_win_ms, floor_db, floor_percentile)
+            vlook = vocal_lookup or QuietLookup(vocal, sr, guard_win_ms, floor_db, floor_percentile)
             guard_times = vlook.guard_right(guard_times, search_right_ms, guard_db)
 
     # stage 2: mix zero-cross + mix quiet guard
     final_times = align_to_zero_cross_many(mix, sr, guard_times, zero_cross_win_ms)
     if enable_mix_guard:
-        mlook = QuietLookup(mix, sr, guard_win_ms, floor_db, floor_percentile)
+        mlook = mix_lookup or QuietLookup(mix, sr, guard_win_ms, floor_db, floor_percentile)
         final_times = mlook.guard_right(final_times, search_right_ms, guard_db)
     final_times = np.clip(final_times, 0.0, max(duration_s, 0.0))
 

@@ -107,7 +107,13 @@ class PureVocalPauseDetector:
         features: Optional[TrackFeatures] = None,
         focus_windows: Optional[List[Tuple[float, float]]] = None,
         enable_mdd: bool = True,
+        rms_env: Optional[np.ndarray] = None,
+        env_db_grid: Optional[np.ndarray] = None,
+        env_db_stride: int = 1,
     ) -> List[PureVocalPause]:
+        """``rms_env`` (10 ms grid) and ``env_db_grid`` (decimated fine dB)
+        may be supplied by the fused DetectionBundle to avoid re-running
+        the envelope kernels."""
         cfg = get_config("v2_mdd.pure_vocal_detection", {}) or {}
         if not cfg.get("enable", True) or vocal_audio is None or vocal_audio.size == 0:
             return []
@@ -122,8 +128,11 @@ class PureVocalPauseDetector:
             stats,
         )
 
-        # device pass: whole-track fine-grained RMS envelope
-        rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), self.frame, self.hop))
+        # device pass: whole-track fine-grained RMS envelope (or reuse bundle)
+        if rms_env is not None:
+            rms = np.asarray(rms_env)
+        else:
+            rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), self.frame, self.hop))
         fps = self.sr / self.hop
 
         # VPP multiplier from in-song rest statistics
@@ -140,7 +149,9 @@ class PureVocalPauseDetector:
         pauses = self._total_valley_cap(pauses, vocal_audio.size / self.sr)
         if enable_mdd and features is not None:
             pauses = self._apply_mdd_enhancement(pauses, features, focus_windows)
-        pauses = self._calculate_precise_cut_points(pauses, vocal_audio)
+        pauses = self._calculate_precise_cut_points(
+            pauses, vocal_audio, env_db_grid=env_db_grid, env_db_stride=env_db_stride
+        )
         # final min-pause filter at the configured duration
         min_pause = resolve_min_pause(
             float(cfg.get("min_pause_duration", 0.5)), 1.0, stats
@@ -312,7 +323,11 @@ class PureVocalPauseDetector:
     # -- precise cut points -----------------------------------------------------
 
     def _calculate_precise_cut_points(
-        self, pauses: List[PureVocalPause], vocal_audio: np.ndarray
+        self,
+        pauses: List[PureVocalPause],
+        vocal_audio: np.ndarray,
+        env_db_grid: Optional[np.ndarray] = None,
+        env_db_stride: int = 1,
     ) -> List[PureVocalPause]:
         if not pauses or vocal_audio is None or vocal_audio.size == 0:
             return pauses
@@ -323,31 +338,38 @@ class PureVocalPauseDetector:
         floor_allow = float(get_config("vocal_pause_splitting.silence_floor_allowance", 0.0)) or 1.5
 
         win = max(1, int(local_ms / 1000.0 * sr))
-        guard = max(0, int(guard_ms / 1000.0 * sr))
 
-        # one device pass: per-sample envelope over the whole vocal track
-        from audio_cut_tpu.ops.frames import moving_rms_db  # noqa: PLC0415
+        if env_db_grid is not None:
+            env_db = np.asarray(env_db_grid)
+            stride = int(env_db_stride)
+        else:
+            from audio_cut_tpu.ops.frames import moving_rms_db  # noqa: PLC0415
 
-        env_db = np.asarray(moving_rms_db(jnp.asarray(vocal_audio, dtype=jnp.float32), win))
-        env = np.power(10.0, env_db / 20.0)
+            env_db = np.asarray(moving_rms_db(jnp.asarray(vocal_audio, dtype=jnp.float32), win))
+            stride = 1
+        grid_sr = sr / stride
+        guard = max(0, int(guard_ms / 1000.0 * grid_sr))
         abs_audio = np.abs(vocal_audio)
+        n_grid = env_db.size
 
         for p in pauses:
-            a = max(0, int(round(p.start_time * sr)))
-            b = min(vocal_audio.size, int(round(p.end_time * sr)))
+            a = max(0, int(round(p.start_time * grid_sr)))
+            b = min(n_grid, int(round(p.end_time * grid_sr)))
             if b - a <= 1:
                 continue
-            local_idx = int(np.argmin(env[a:b]))
-            cut = a + local_idx
+            cut = a + int(np.argmin(env_db[a:b]))
             if guard > 0:
-                g_end = min(vocal_audio.size, cut + guard)
+                g_end = min(n_grid, cut + guard)
                 if g_end > cut:
-                    cut = cut + int(np.argmin(env[cut:g_end]))
-            floor_val = float(np.percentile(abs_audio[a:b], floor_pct)) if b > a else 0.0
-            fallback = floor_val > 0.0 and abs_audio[cut] > floor_val * floor_allow
+                    cut = cut + int(np.argmin(env_db[cut:g_end]))
+            cut_sample = min(vocal_audio.size - 1, cut * stride)
+            sa = max(0, int(round(p.start_time * sr)))
+            sb = min(vocal_audio.size, int(round(p.end_time * sr)))
+            floor_val = float(np.percentile(abs_audio[sa:sb], floor_pct)) if sb > sa else 0.0
+            fallback = floor_val > 0.0 and abs_audio[cut_sample] > floor_val * floor_allow
             if fallback:
-                cut = a + (b - a) // 2
-            p.cut_point = cut / float(sr)
+                cut_sample = sa + (sb - sa) // 2
+            p.cut_point = cut_sample / float(sr)
             p.quality_grade = "B" if fallback else "A"
         return pauses
 

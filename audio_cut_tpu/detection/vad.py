@@ -70,10 +70,13 @@ class EnergyGateDetector:
         self.frame = max(self.hop, int(round(frame_s * sample_rate)))
         self.relative_floor_db = relative_floor_db
 
-    def detect(self, audio: np.ndarray) -> VadResult:
+    def detect(self, audio: np.ndarray, rms_env: Optional[np.ndarray] = None) -> VadResult:
         if audio is None or audio.size == 0:
             return VadResult([], self.sr / self.hop)
-        rms = np.asarray(frame_rms(jnp.asarray(audio, dtype=jnp.float32), self.frame, self.hop))
+        if rms_env is not None:
+            rms = np.asarray(rms_env)
+        else:
+            rms = np.asarray(frame_rms(jnp.asarray(audio, dtype=jnp.float32), self.frame, self.hop))
         db = 20.0 * np.log10(rms + 1e-12)
         thr = self.threshold_db
         if self.relative_floor_db is not None:

@@ -24,6 +24,7 @@ def classify_segments_vocal_presence(
     vocal_audio: Optional[np.ndarray],
     cut_samples: Sequence[int],
     sr: int,
+    act_rms: Optional[np.ndarray] = None,
 ) -> Tuple[List[bool], List[Dict[str, Any]]]:
     n_seg = max(len(cut_samples) - 1, 0)
     if n_seg == 0:
@@ -39,7 +40,10 @@ def classify_segments_vocal_presence(
     hop = max(1, int(0.02 * sr))
     frame = max(hop * 2, int(0.05 * sr))
 
-    rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), frame, hop))
+    if act_rms is not None:
+        rms = np.asarray(act_rms)
+    else:
+        rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), frame, hop))
     db = 20.0 * np.log10(rms + 1e-12)
     active = db > db_thr
     fps = sr / hop
@@ -85,6 +89,7 @@ def pure_music_spans(
     sr: int,
     min_duration_s: Optional[float] = None,
     threshold_db: Optional[float] = None,
+    act_rms: Optional[np.ndarray] = None,
 ) -> List[Tuple[float, float]]:
     """Long vocal-inactive spans (intros/interludes/outros).
 
@@ -99,7 +104,10 @@ def pure_music_spans(
         threshold_db = float(get_config("v2_mdd.quality_control.segment_vocal_threshold_db", -50.0))
     hop = max(1, int(0.02 * sr))
     frame = max(hop * 2, int(0.05 * sr))
-    rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), frame, hop))
+    if act_rms is not None:
+        rms = np.asarray(act_rms)
+    else:
+        rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), frame, hop))
     db = 20.0 * np.log10(rms + 1e-12)
     quiet = db <= threshold_db
     fps = sr / hop

@@ -61,11 +61,17 @@ def process_pure_vocal_split(
     vocal = sep.vocal_track if sep.vocal_track is not None else audio
     instrumental = sep.instrumental_track
 
-    # -- shared features (one fused device program) --------------------------
-    features = build_track_features(audio, sr)
+    # -- shared features: ONE fused device program over (mix, vocal) ---------
+    qc = get_config("v2_mdd.quality_control", {}) or {}
+    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    lbr = qc.get("local_boundary_refine", {}) or {}
+    bundle = _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr)
+    features = bundle.features
 
     # -- VAD focus windows ----------------------------------------------------
-    vad = EnergyGateDetector(sr).detect(vocal)
+    vad = EnergyGateDetector(sr).detect(
+        vocal, rms_env=bundle.vocal_rms_fine if bundle else None
+    )
     acfg = get_config("v2_mdd.advanced_vad", {}) or {}
     focus = to_focus_windows(
         vad.segments,
@@ -105,7 +111,10 @@ def process_pure_vocal_split(
     else:
         detector = PureVocalPauseDetector(sr)
         pauses = detector.detect_pure_vocal_pauses(
-            vocal, features=features, focus_windows=focus, enable_mdd=True
+            vocal, features=features, focus_windows=focus, enable_mdd=True,
+            rms_env=bundle.vocal_rms_fine if bundle else None,
+            env_db_grid=bundle.vocal_db_fine if bundle else None,
+            env_db_stride=bundle.db_stride if bundle else 1,
         )
         raw_points = [
             CutPoint(p.cut_point if p.cut_point > 0 else (p.start_time + p.end_time) / 2.0,
@@ -114,15 +123,28 @@ def process_pure_vocal_split(
         ]
 
     # pure-music span boundaries as extra candidates (intro/interlude/outro)
-    for span_start, span_end in pure_music_spans(vocal, sr):
+    for span_start, span_end in pure_music_spans(
+        vocal, sr, act_rms=bundle.act_rms if bundle else None
+    ):
         for t in (span_start, span_end):
             if 0.5 < t < duration - 0.5:
                 raw_points.append(CutPoint(float(t), 0.8, kind="music_span"))
 
     # -- guard finalisation -------------------------------------------------------
-    qc = get_config("v2_mdd.quality_control", {}) or {}
-    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    from audio_cut_tpu.cutting.refine import QuietLookup
+
+    floor_pct = float(eqc.get("floor_percentile", 0.5))
     vcfg = get_config("v2_mdd.pure_vocal_detection.valley_scoring", {}) or {}
+    vocal_lookup = mix_lookup = None
+    if bundle is not None:
+        vocal_lookup = QuietLookup(
+            sr=sr, db_grid=bundle.vocal_db_guard, stride=bundle.db_stride,
+            floor_db=eqc.get("floor_db_override"), floor_percentile=floor_pct,
+        )
+        mix_lookup = QuietLookup(
+            sr=sr, db_grid=bundle.mix_db_guard, stride=bundle.db_stride,
+            floor_db=eqc.get("floor_db_override"), floor_percentile=floor_pct,
+        )
     refine_result = finalize_cut_points(
         CutContext(sr=sr, mix_wave=audio, vocal_wave=vocal),
         raw_points,
@@ -133,9 +155,11 @@ def process_pure_vocal_split(
         search_right_ms=float(eqc.get("search_right_ms", 450)),
         guard_win_ms=float(eqc.get("win_ms", 80)),
         floor_db=eqc.get("floor_db_override"),
-        floor_percentile=float(eqc.get("floor_percentile", 0.5)),
+        floor_percentile=floor_pct,
         enable_mix_guard=bool(eqc.get("enable", True)),
         enable_vocal_guard=bool(eqc.get("enable", True)),
+        vocal_lookup=vocal_lookup,
+        mix_lookup=mix_lookup,
     )
 
     cut_times = [p.t for p in refine_result.final_points]
@@ -151,11 +175,14 @@ def process_pure_vocal_split(
     layout_cfg = get_config("v2_mdd.segment_layout", {}) or {}
     layout_applied = False
     if layout_cfg.get("enable", True) and cut_times:
-        from audio_cut_tpu.ops.frames import frame_rms as _frame_rms  # noqa: PLC0415
-        import jax.numpy as jnp  # noqa: PLC0415
+        if bundle is not None:
+            vocal_rms = bundle.vocal_rms_grid
+        else:
+            from audio_cut_tpu.ops.frames import frame_rms as _frame_rms  # noqa: PLC0415
+            import jax.numpy as jnp  # noqa: PLC0415
 
-        hop = max(1, int(round(features.hop_s * sr)))
-        vocal_rms = np.asarray(_frame_rms(jnp.asarray(vocal, dtype=jnp.float32), 2048, hop))
+            hop = max(1, int(round(features.hop_s * sr)))
+            vocal_rms = np.asarray(_frame_rms(jnp.asarray(vocal, dtype=jnp.float32), 2048, hop))
         vocal_rms_db = 20.0 * np.log10(vocal_rms + 1e-12)
         rescue_pool = [
             RescueCandidate(t=p.t, score=p.score) for p in refine_result.suppressed_points
@@ -173,20 +200,23 @@ def process_pure_vocal_split(
         layout_applied = True
 
     # -- local valley boundary refine ----------------------------------------------
-    lbr = qc.get("local_boundary_refine", {}) or {}
     if lbr.get("enable", True) and cut_times:
         cut_times = _local_valley_refine(
             cut_times, audio, sr,
             radius_ms=float(lbr.get("search_radius_ms", 500)),
             window_ms=float(lbr.get("window_ms", 5)),
             min_drop_db=float(lbr.get("min_drop_db", 5.0)),
+            db_grid=bundle.mix_db_refine if bundle else None,
+            db_stride=bundle.db_stride if bundle else 1,
         )
 
     # -- classification + weak-tail merge -------------------------------------------
     cut_samples = sorted({0, len(audio), *(
         int(round(t * sr)) for t in cut_times if 0 < int(round(t * sr)) < len(audio)
     )})
-    flags, debug = classify_segments_vocal_presence(vocal, cut_samples, sr)
+    flags, debug = classify_segments_vocal_presence(
+        vocal, cut_samples, sr, act_rms=bundle.act_rms if bundle else None
+    )
     cut_samples, flags, debug = merge_weak_human_tails(list(cut_samples), flags, debug, sr)
 
     # single-segment fallback (reference :2682-2747)
@@ -334,6 +364,36 @@ def _apply_smart_cut_runtime(features) -> Optional[Dict[str, Any]]:
     return meta
 
 
+def _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr):
+    """Fused detection-envelope pass (see analysis/bundle.py)."""
+    try:
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        from audio_cut_tpu.analysis.bundle import build_detection_bundle
+        from audio_cut_tpu.analysis.features import pad_to_bucket
+
+        mix_dev = getattr(sep, "mix_device", None)
+        vocal_dev = getattr(sep, "vocal_device", None)
+        if vocal_dev is None:
+            vocal_dev = jnp.asarray(pad_to_bucket(vocal, sr))
+        if mix_dev is None:
+            mix_dev = jnp.asarray(pad_to_bucket(audio, sr))
+        # both operands must share the padded length
+        n_pad = max(mix_dev.shape[-1], vocal_dev.shape[-1])
+        if mix_dev.shape[-1] != n_pad:
+            mix_dev = jnp.pad(mix_dev, (0, n_pad - mix_dev.shape[-1]))
+        if vocal_dev.shape[-1] != n_pad:
+            vocal_dev = jnp.pad(vocal_dev, (0, n_pad - vocal_dev.shape[-1]))
+        return build_detection_bundle(
+            mix_dev, vocal_dev, sr, len(audio),
+            guard_win_ms=float(eqc.get("win_ms", 80)),
+            refine_win_ms=float(lbr.get("window_ms", 5)),
+        )
+    except Exception:
+        logger.warning("detection bundle failed; falling back to per-stage kernels", exc_info=True)
+        return None
+
+
 def _local_valley_refine(
     cut_times: List[float],
     audio: np.ndarray,
@@ -342,31 +402,37 @@ def _local_valley_refine(
     radius_ms: float,
     window_ms: float,
     min_drop_db: float,
+    db_grid: Optional[np.ndarray] = None,
+    db_stride: int = 1,
 ) -> List[float]:
     """Move each cut to a nearby strictly-quieter local valley.
 
     Parity: reference seamless_splitter.py:2613-2680.
     """
-    import jax.numpy as jnp  # noqa: PLC0415
-
-    from audio_cut_tpu.ops.frames import moving_rms_db  # noqa: PLC0415
-
     if not cut_times:
         return cut_times
-    win = max(1, int(round(window_ms / 1000.0 * sr)))
-    env_db = np.asarray(moving_rms_db(jnp.asarray(audio, dtype=jnp.float32), win))
-    radius = max(1, int(round(radius_ms / 1000.0 * sr)))
+    if db_grid is not None:
+        env_db = np.asarray(db_grid)
+        grid_sr = sr / float(db_stride)
+    else:
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        from audio_cut_tpu.ops.frames import moving_rms_db  # noqa: PLC0415
+
+        win = max(1, int(round(window_ms / 1000.0 * sr)))
+        env_db = np.asarray(moving_rms_db(jnp.asarray(audio, dtype=jnp.float32), win))
+        grid_sr = float(sr)
+    radius = max(1, int(round(radius_ms / 1000.0 * grid_sr)))
     n = env_db.size
 
     out: List[float] = []
     for t in cut_times:
-        idx = int(np.clip(round(t * sr), 0, n - 1))
+        idx = int(np.clip(round(t * grid_sr), 0, n - 1))
         lo = max(0, idx - radius)
         hi = min(n, idx + radius)
-        local = env_db[lo:hi]
-        best = int(np.argmin(local)) + lo
+        best = int(np.argmin(env_db[lo:hi])) + lo
         if env_db[idx] - env_db[best] >= min_drop_db:
-            out.append(best / float(sr))
+            out.append(best / grid_sr)
         else:
             out.append(t)
     return sorted(out)

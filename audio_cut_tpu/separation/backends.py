@@ -108,6 +108,27 @@ class SpectralMaskBackend:
         """Pure jittable per-window path used by the chunked engine."""
         return self._separate(window, int(window.shape[-1]))
 
+    def separate_windows_fn(self, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pure batched path for the on-device OLA engine: [N, S] -> 2x[N, S].
+
+        Sub-batches of 4 windows bound the median-filter stack memory
+        (31 x spectrogram per window) while keeping the MXU/VPU busy.
+        """
+        length = int(windows.shape[-1])
+        n = windows.shape[0]
+        group = 4
+        pad_n = (-n) % group
+        wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
+
+        def body(batch):
+            return self._separate(batch, length)
+
+        batches = wp.reshape(-1, group, length)
+        v, i = jax.lax.map(body, batches)
+        v = v.reshape(-1, length)[:n]
+        i = i.reshape(-1, length)[:n]
+        return v, i
+
 
 def make_backend(name: str, sample_rate: int):
     if name == "spectral":

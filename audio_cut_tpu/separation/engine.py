@@ -23,6 +23,10 @@ from audio_cut_tpu.config import get_config
 
 logger = logging.getLogger(__name__)
 
+# compiled device-OLA programs, keyed by backend/geometry — survives engine
+# instances so repeat API calls never recompile
+_OLA_PROGRAM_CACHE: Dict[Any, Any] = {}
+
 
 @dataclass(frozen=True)
 class ChunkPlan:
@@ -201,22 +205,107 @@ class SeparationEngine:
         inst[lo:hi] += i[:span] * w[:span]
         weight[lo:hi] += w[:span]
 
+    # -- on-device OLA path (single upload, single download) ----------------
+
+    def _device_ola_fn(self, padded_len: int):
+        """Build (and cache) a jitted whole-track separation program.
+
+        One device program: slice static windows -> batched backend ->
+        weighted halo-trimmed OLA, all in HBM. Replaces the per-chunk host
+        loop (and its 2 transfers per chunk) with 1 upload + 2 downloads.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        # module-level cache: compiled programs must outlive the engine
+        # instance (the API builds a fresh splitter/engine per call)
+        key = (self._backend_name, self.sample_rate, padded_len,
+               self.chunk_s, self.overlap_s, self.halo_s, self.align)
+        cache = _OLA_PROGRAM_CACHE
+        if key in cache:
+            return cache[key]
+
+        plans, window = chunk_schedule(
+            padded_len, self.sample_rate, self.chunk_s, self.overlap_s, self.halo_s, self.align
+        )
+        halo = int(round(self.halo_s * self.sample_rate))
+        ramp = max(1, int(round((self.overlap_s - 2 * self.halo_s) * self.sample_rate)))
+        starts = [p.start for p in plans]
+        n = len(plans)
+
+        weights = np.ones((n, window), dtype=np.float32)
+        for k, p in enumerate(plans):
+            w = weights[k]
+            w[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False) + 1e-6
+            w[-ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False) + 1e-6
+            if p.start > 0:
+                w[:halo] = 0.0
+            if p.start + window < padded_len:
+                w[-halo:] = 0.0
+        wsum = np.full(padded_len, 1e-9, dtype=np.float32)
+        for k, s in enumerate(starts):
+            wsum[s:s + window] += weights[k]
+        inv_wsum = (1.0 / wsum).astype(np.float32)
+
+        backend = self.backend
+
+        def run(audio_padded: "jnp.ndarray"):
+            windows = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(audio_padded, s, window) for s in starts
+            ])
+            v, i = backend.separate_windows_fn(windows)
+            wv = v * jnp.asarray(weights)
+            wi = i * jnp.asarray(weights)
+            vocal = jnp.zeros(padded_len, jnp.float32)
+            inst = jnp.zeros(padded_len, jnp.float32)
+            for k, s in enumerate(starts):
+                vocal = jax.lax.dynamic_update_slice_in_dim(
+                    vocal, jax.lax.dynamic_slice_in_dim(vocal, s, window) + wv[k], s, axis=0)
+                inst = jax.lax.dynamic_update_slice_in_dim(
+                    inst, jax.lax.dynamic_slice_in_dim(inst, s, window) + wi[k], s, axis=0)
+            scale = jnp.asarray(inv_wsum)
+            return vocal * scale, inst * scale
+
+        fn = jax.jit(run)
+        cache[key] = (fn, n)
+        return cache[key]
+
+    def separate_on_device(self, audio: np.ndarray):
+        """Returns (vocal_dev, inst_dev, meta) as DEVICE arrays of len(audio)."""
+        import jax.numpy as jnp
+
+        audio = np.asarray(audio, dtype=np.float32)
+        n = audio.shape[-1]
+        bucket = int(round(30.0 * self.sample_rate))
+        padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+        padded_len = ((padded_len + self.align - 1) // self.align) * self.align
+        fn, n_chunks = self._device_ola_fn(padded_len)
+
+        t0 = time.time()
+        padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
+        vocal, inst = fn(jnp.asarray(padded))
+        meta = {
+            "gpu_pipeline_backend": self._backend_name,
+            "gpu_pipeline_chunks": n_chunks,
+            "gpu_pipeline_window_samples": padded_len,
+            "gpu_pipeline_total_ms": round((time.time() - t0) * 1000.0, 3),
+            "gpu_pipeline_device": "tpu",
+            "gpu_pipeline_mode": "device_ola",
+        }
+        return vocal[:n], inst[:n], meta
+
     # -- public API (parity: separate_for_detection) -----------------------
 
     def separate_for_detection(self, audio: np.ndarray) -> SeparationResult:
         audio = np.asarray(audio, dtype=np.float32)
-        n = audio.shape[-1]
-        window = int(round(self.chunk_s * self.sample_rate))
         try:
-            if n <= window * 2:
-                vocal, inst = self.separate_full(audio)
-                meta = {
-                    "gpu_pipeline_backend": self._backend_name,
-                    "gpu_pipeline_chunks": 1,
-                    "gpu_pipeline_device": "tpu",
-                }
+            if hasattr(self.backend, "separate_windows_fn"):
+                vocal_dev, inst_dev, meta = self.separate_on_device(audio)
+                vocal = np.asarray(vocal_dev)
+                inst = np.asarray(inst_dev)
             else:
                 vocal, inst, meta = self.separate_chunked(audio)
+                vocal_dev = inst_dev = None
         except Exception as exc:
             if not self.enable_fallback:
                 raise
@@ -224,13 +313,16 @@ class SeparationEngine:
             return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
 
         confidence = _estimate_confidence(audio, vocal)
-        return SeparationResult(
+        result = SeparationResult(
             vocal_track=vocal,
             instrumental_track=inst,
             backend_used=self._backend_name,
             separation_confidence=confidence,
             device_meta=meta,
         )
+        result.vocal_device = vocal_dev  # device handles for downstream fusion
+        result.instrumental_device = inst_dev
+        return result
 
 
 def _estimate_confidence(mix: np.ndarray, vocal: np.ndarray) -> float:
