@@ -108,15 +108,9 @@ def _decode_pcm(data: np.ndarray, bits: int, tag: int) -> np.ndarray:
     if bits == 8:
         return (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
     if bits == 24:
-        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        # sign-extend 24-bit little-endian into int32
-        out = (
-            b[:, 0].astype(np.int32)
-            | (b[:, 1].astype(np.int32) << 8)
-            | (b[:, 2].astype(np.int32) << 16)
-        )
-        out = (out ^ 0x800000) - 0x800000
-        return (out.astype(np.float64) / 8388607.0).astype(np.float32)
+        from audio_cut_tpu.native import get_pcm_codec
+
+        return get_pcm_codec().decode_pcm24(data)
     raise AudioIOError(f"unsupported bit depth: {bits}")
 
 
@@ -137,19 +131,20 @@ def read_wav(path: Union[str, Path], always_2d: bool = False) -> Tuple[np.ndarra
 
 def _encode_pcm(audio: np.ndarray, subtype: str) -> Tuple[bytes, int, int]:
     """Encode float audio -> (payload bytes, format_tag, bits)."""
-    clipped = np.clip(audio, -1.0, 1.0)
     if subtype == "PCM_16":
-        scaled = np.round(clipped * 32767.0).astype("<i2")
-        return scaled.tobytes(), _FMT_PCM, 16
+        from audio_cut_tpu.native import get_pcm_codec
+
+        return get_pcm_codec().encode_pcm16(audio), _FMT_PCM, 16
     if subtype == "PCM_32":
+        clipped = np.clip(audio, -1.0, 1.0)
         scaled = np.round(clipped.astype(np.float64) * 2147483647.0).astype("<i4")
         return scaled.tobytes(), _FMT_PCM, 32
     if subtype == "FLOAT":
         return audio.astype("<f4").tobytes(), _FMT_FLOAT, 32
     if subtype == "PCM_24":
-        scaled = np.round(clipped.astype(np.float64) * 8388607.0).astype(np.int32)
-        as32 = scaled.astype("<i4").view(np.uint8).reshape(-1, 4)
-        return np.ascontiguousarray(as32[:, :3]).tobytes(), _FMT_PCM, 24
+        from audio_cut_tpu.native import get_pcm_codec
+
+        return get_pcm_codec().encode_pcm24(audio), _FMT_PCM, 24
     raise AudioIOError(f"unsupported WAV subtype: {subtype}")
 
 

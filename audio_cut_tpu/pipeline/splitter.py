@@ -51,6 +51,9 @@ _DENSITY_MAP = {
 
 class SmartSplitter:
     def __init__(self, sample_rate: Optional[int] = None) -> None:
+        from audio_cut_tpu.utils.device import configure_jax
+
+        configure_jax()  # persistent XLA cache: cold compiles amortise across processes
         self.sample_rate = int(sample_rate or get_config("audio.sample_rate", 44100))
         self.result_builder = ResultBuilder()
         self.segment_exporter = SegmentExporter(self.sample_rate)
