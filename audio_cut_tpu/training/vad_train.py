@@ -1,0 +1,100 @@
+"""ConvVAD training: supervised per-frame speech classification.
+
+The reference consumed pretrained Silero weights; a standalone framework must
+be able to produce its own VAD. This trains ConvVADNet with BCE on per-frame
+labels, with a synthetic-data generator (voiced harmonics vs noise/music
+beds) good enough to bootstrap a usable gate; swap in labelled real data via
+the same (audio [B,T], labels [B,T//FRAME]) batch contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_cut_tpu.models.vad import FRAME, VAD_SR, ConvVADNet
+
+
+@dataclasses.dataclass
+class VadTrainConfig:
+    learning_rate: float = 1e-3
+    batch_size: int = 16
+    clip_s: float = 2.0
+
+
+def synth_batch(rng: np.random.Generator, cfg: VadTrainConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthetic (audio, frame_labels): harmonic 'voice' bursts over beds."""
+    t_samples = int(cfg.clip_s * VAD_SR)
+    n_frames = t_samples // FRAME
+    audio = np.zeros((cfg.batch_size, t_samples), np.float32)
+    labels = np.zeros((cfg.batch_size, n_frames), np.float32)
+    tt = np.arange(t_samples) / VAD_SR
+    for b in range(cfg.batch_size):
+        # bed: noise or tonal pad
+        if rng.random() < 0.5:
+            audio[b] += rng.standard_normal(t_samples).astype(np.float32) * rng.uniform(0.005, 0.05)
+        else:
+            f = rng.uniform(60, 300)
+            audio[b] += (rng.uniform(0.01, 0.08) * np.sin(2 * np.pi * f * tt)).astype(np.float32)
+        # voice bursts: f0 with vibrato + harmonics + amplitude modulation
+        n_bursts = rng.integers(0, 4)
+        for _ in range(n_bursts):
+            start = rng.uniform(0, cfg.clip_s - 0.3)
+            durr = rng.uniform(0.2, min(1.0, cfg.clip_s - start))
+            seg = (tt >= start) & (tt < start + durr)
+            f0 = rng.uniform(90, 350) * (1 + 0.02 * np.sin(2 * np.pi * rng.uniform(4, 7) * tt[seg]))
+            x = np.zeros(seg.sum())
+            for h in range(1, 6):
+                x += np.sin(2 * np.pi * h * np.cumsum(f0) / VAD_SR) / h
+            am = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * rng.uniform(2, 5) * tt[seg]))
+            audio[b, seg] += (rng.uniform(0.1, 0.5) * x * am).astype(np.float32)
+            fa, fb = int(start * VAD_SR // FRAME), int((start + durr) * VAD_SR // FRAME)
+            labels[b, fa:min(fb, n_frames)] = 1.0
+    return audio, labels
+
+
+class VadTrainer:
+    def __init__(self, cfg: Optional[VadTrainConfig] = None, seed: int = 0):
+        self.cfg = cfg or VadTrainConfig()
+        self.net = ConvVADNet()
+        t = int(self.cfg.clip_s * VAD_SR)
+        self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, t)))["params"]
+        self.opt = optax.adamw(self.cfg.learning_rate)
+        self.opt_state = self.opt.init(self.params)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        net, opt = self.net, self.opt
+
+        def loss_fn(params, audio, labels):
+            logits = net.apply({"params": params}, audio)
+            loss = optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+            acc = jnp.mean((logits > 0) == (labels > 0.5))
+            return loss, acc
+
+        def step(params, opt_state, audio, labels):
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, audio, labels)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, acc
+
+        return step
+
+    def train(self, steps: int, rng: Optional[np.random.Generator] = None) -> Dict[str, float]:
+        rng = rng or np.random.default_rng(0)
+        loss = acc = 0.0
+        for _ in range(steps):
+            audio, labels = synth_batch(rng, self.cfg)
+            self.params, self.opt_state, loss, acc = self._step(
+                self.params, self.opt_state, jnp.asarray(audio), jnp.asarray(labels)
+            )
+        return {"loss": float(loss), "accuracy": float(acc)}
+
+    def save(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ocp.StandardCheckpointer().save(path, self.params, force=True)
