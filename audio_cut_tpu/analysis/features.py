@@ -47,9 +47,13 @@ def pad_to_bucket(x: np.ndarray, sr: int, bucket_s: float = _BUCKET_S) -> np.nda
 
 @functools.partial(jax.jit, static_argnames=("hop", "fps"))
 def _compute_features(audio: jnp.ndarray, hop: int, fps: float) -> Dict[str, jnp.ndarray]:
+    from audio_cut_tpu.ops.pallas.frame_stats import spectral_stats
+    from audio_cut_tpu.ops.stft import stft
+
     rms = F.frame_rms(audio, _RMS_FRAME, hop)
-    flat = F.spectral_flatness(audio, _FEATURE_NFFT, hop)
-    onset = F.onset_envelope(audio, _FEATURE_NFFT, hop)
+    # one STFT feeds both spectral stats (fused Pallas kernel on TPU opt-in)
+    mag = jnp.abs(stft(audio, n_fft=_FEATURE_NFFT, hop=hop))
+    flat, onset = spectral_stats(mag)
     mdd = F.mdd_series(rms, flat, onset)
     tempo = B.estimate_tempo(onset, fps=fps)
     return {
