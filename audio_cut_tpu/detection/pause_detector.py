@@ -145,6 +145,13 @@ class PureVocalPauseDetector:
         rms_ratio = float(np.clip(thresholds.rms_ratio * vpp_mult, peak_ratio + 0.02, 0.72))
 
         pauses = self._detect_energy_valleys(rms, fps, peak_ratio, rms_ratio, cfg, features, focus_windows)
+        if not cfg.get("enable_relative_energy_mode", True):
+            # legacy multi-feature mode: rescore valleys by voicing/formant/
+            # spectral/duration evidence (reference pure_vocal_pause_detector
+            # :410-459, 618-844 — pyin F0 + LPC formants + centroid +
+            # harmonic ratio; here the voicing/formant evidence comes from
+            # the spectral flatness + band statistics already in features)
+            pauses = self._apply_multi_feature_scoring(pauses, vocal_audio, cfg, features)
         pauses = self._compress(pauses, cfg)
         pauses = self._total_valley_cap(pauses, vocal_audio.size / self.sr)
         if enable_mdd and features is not None:
@@ -213,6 +220,68 @@ class PureVocalPauseDetector:
                 cut_point=(start_t + end_t) / 2.0,
             ))
         return pauses
+
+    def _apply_multi_feature_scoring(
+        self,
+        pauses: List[PureVocalPause],
+        vocal_audio: np.ndarray,
+        cfg: Dict[str, Any],
+        features: Optional[TrackFeatures],
+    ) -> List[PureVocalPause]:
+        """Legacy weighted multi-feature confidence.
+
+        Feature semantics preserved from the reference's pyin/LPC mode:
+        f0 evidence = absence of voiced (periodic) energy inside the pause,
+        formant/spectral evidence = how noise-like (flat) the pause is,
+        duration evidence = longer pauses are better cuts. Voicing is read
+        from the autocorrelation of each pause segment (one vectorised pass)
+        instead of per-frame pyin.
+        """
+        if not pauses:
+            return pauses
+        w_f0 = float(cfg.get("f0_weight", 0.3))
+        w_formant = float(cfg.get("formant_weight", 0.25))
+        w_spectral = float(cfg.get("spectral_weight", 0.25))
+        w_duration = float(cfg.get("duration_weight", 0.2))
+        sr = self.sr
+
+        out: List[PureVocalPause] = []
+        for p in pauses:
+            a = max(0, int(p.start_time * sr))
+            b = min(vocal_audio.size, int(p.end_time * sr))
+            seg = vocal_audio[a:b]
+            if seg.size < 256:
+                out.append(p)
+                continue
+            # voicing: normalized autocorr peak in the 70-400 Hz lag band
+            seg_z = seg - seg.mean()
+            n = min(seg_z.size, 8192)
+            s = seg_z[:n]
+            spec = np.fft.rfft(s, n=2 * n)
+            ac = np.fft.irfft(spec * np.conj(spec))[:n]
+            lag_lo, lag_hi = int(sr / 400), min(int(sr / 70), n - 1)
+            voiced = float(ac[lag_lo:lag_hi].max() / (ac[0] + 1e-12)) if lag_hi > lag_lo else 0.0
+            f0_score = float(np.clip(1.0 - voiced, 0.0, 1.0))
+
+            flat_score = 0.5
+            if features is not None and features.flatness.size:
+                st = features.window_stats("flatness", p.start_time, p.end_time)
+                flat_score = float(np.clip(st["mean"], 0.0, 1.0))  # noise-like pause
+            dur_score = float(np.clip((p.duration - 0.2) / 1.3, 0.0, 1.0))
+
+            confidence = float(np.clip(
+                w_f0 * f0_score + w_formant * flat_score + w_spectral * flat_score
+                + w_duration * dur_score,
+                0.1, 0.99,
+            ))
+            out.append(PureVocalPause(
+                start_time=p.start_time, end_time=p.end_time, duration=p.duration,
+                pause_type="multi_feature", confidence=confidence,
+                features={**p.features, "f0_score": f0_score, "flatness_score": flat_score,
+                          "duration_score": dur_score},
+                cut_point=p.cut_point, quality_grade=p.quality_grade,
+            ))
+        return out
 
     # -- compression / caps ---------------------------------------------------
 

@@ -309,6 +309,17 @@ class SeparationEngine:
         except Exception as exc:
             if not self.enable_fallback:
                 raise
+            if self._backend_name != "spectral":
+                # runtime failure of the primary backend: fall back to the
+                # model-free spectral separator (reference Demucs-fallback
+                # semantics, enhanced_vocal_separator.py:177-188)
+                logger.error(
+                    "backend %r failed at runtime (%s); retrying with spectral",
+                    self._backend_name, exc,
+                )
+                self._backend = None
+                self._backend_name = "spectral"
+                return self.separate_for_detection(audio)
             logger.error("separation failed (%s)", exc)
             return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
 

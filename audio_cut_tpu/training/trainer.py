@@ -124,4 +124,6 @@ class Trainer:
     def save_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
 
-        ocp.StandardCheckpointer().save(path, self.params, force=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.params, force=True)
+        ckptr.wait_until_finished()  # StandardCheckpointer saves asynchronously

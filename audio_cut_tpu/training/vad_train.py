@@ -97,4 +97,6 @@ class VadTrainer:
     def save(self, path: str) -> None:
         import orbax.checkpoint as ocp
 
-        ocp.StandardCheckpointer().save(path, self.params, force=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.params, force=True)
+        ckptr.wait_until_finished()  # StandardCheckpointer saves asynchronously
