@@ -80,6 +80,10 @@ def process_pure_vocal_split(
         merge_gap_s=float(acfg.get("focus_merge_gap_s", 0.12)),
         min_width_s=float(acfg.get("focus_window_min_width_s", 0.0)),
     )
+    # real vocal coverage feeds AutoProfile's style estimate (parity:
+    # seamless_splitter.py:873 vocal-coverage attach)
+    covered = sum(b - a for a, b in vad.segments)
+    features.extras["vocal_coverage_ratio"] = min(1.0, covered / max(duration, 1e-9))
 
     # -- candidates -------------------------------------------------------------
     boundary_detection: Optional[Dict[str, Any]] = None
