@@ -31,9 +31,24 @@ def separate_and_segment(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def __getattr__(name):
+    # lazy heavyweight exports (importing them pulls in jax)
+    if name == "SmartSplitter":
+        from audio_cut_tpu.pipeline.splitter import SmartSplitter
+
+        return SmartSplitter
+    if name == "SeparationEngine":
+        from audio_cut_tpu.separation.engine import SeparationEngine
+
+        return SeparationEngine
+    raise AttributeError(name)
+
+
 __all__ = [
     "__version__",
     "separate_and_segment",
+    "SmartSplitter",
+    "SeparationEngine",
     "AudioCutError",
     "LyricsAlignmentUnavailable",
     "LyricsProviderError",

@@ -50,6 +50,19 @@ def test_chunk_vs_full_equivalence():
     assert snr > 60.0, f"SNR {snr:.1f} dB"
 
 
+def test_device_ola_matches_full(song_audio):
+    """The on-device OLA program must match the whole-track transform."""
+    audio, sr = song_audio
+    eng = SeparationEngine(sample_rate=sr, backend="spectral")
+    v_full, _ = eng.separate_full(audio)
+    v_dev, i_dev, meta = eng.separate_on_device(audio)
+    v_dev = np.asarray(v_dev)
+    assert meta["gpu_pipeline_mode"] == "device_ola"
+    err = np.abs(v_dev - v_full).max()
+    assert err < 5e-3, f"device-OLA vs full L_inf {err}"
+    np.testing.assert_allclose(v_dev + np.asarray(i_dev), audio, atol=2e-5)
+
+
 def test_separation_result_fields(song_audio):
     audio, sr = song_audio
     eng = SeparationEngine(sample_rate=sr, backend="spectral")
