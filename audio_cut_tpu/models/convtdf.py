@@ -184,9 +184,29 @@ class ConvTDFBackend:
             tdf_bottleneck=int(cfg.get("tdf_bottleneck", 64)),
         )
         ckpt = cfg.get("checkpoint")
+        onnx_path = cfg.get("onnx_path")
         if ckpt:
             self.params = load_checkpoint(ckpt)
+        elif onnx_path:
+            raise ValueError(
+                "enhanced_separation.convtdf.onnx_path points at an ONNX model; "
+                "use enhanced_separation.backend=onnx for ONNX-weighted separation"
+            )
         else:
+            # random params produce garbage masks — selecting this backend
+            # without a trained checkpoint must be loud, and with fallback
+            # enabled must hand control back to the engine's spectral path
+            if bool(get_config("enhanced_separation.enable_fallback", True)):
+                raise RuntimeError(
+                    "convtdf backend selected but enhanced_separation.convtdf.checkpoint "
+                    "is unset — no trained weights; engine falls back to spectral"
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "convtdf backend running with RANDOM weights (no checkpoint configured); "
+                "separation output will be unusable"
+            )
             self.params = self.sep.init_params(jax.random.PRNGKey(0))
         self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
 

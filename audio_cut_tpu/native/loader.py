@@ -27,6 +27,7 @@ def _build() -> bool:
     cxx = os.environ.get("CXX", "g++")
     cmd = [cxx, "-O3", "-fPIC", "-shared", "-std=c++17",
            str(_SRC), "-o", str(_LIB)]
+    tmp_path = None
     try:
         # build into a temp file first: another process may be racing us
         with tempfile.NamedTemporaryFile(dir=_DIR, suffix=".so", delete=False) as tmp:
@@ -41,6 +42,11 @@ def _build() -> bool:
         return True
     except (OSError, subprocess.TimeoutExpired) as exc:
         logger.warning("native codec build unavailable: %s", exc)
+        if tmp_path is not None:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
         return False
 
 

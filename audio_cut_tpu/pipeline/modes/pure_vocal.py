@@ -66,7 +66,7 @@ def process_pure_vocal_split(
     eqc = qc.get("enforce_quiet_cut", {}) or {}
     lbr = qc.get("local_boundary_refine", {}) or {}
     bundle = _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr)
-    features = bundle.features
+    features = bundle.features if bundle is not None else _features_fallback(audio, sr)
 
     # -- VAD focus windows ----------------------------------------------------
     vad = EnergyGateDetector(sr).detect(
@@ -368,16 +368,41 @@ def _apply_smart_cut_runtime(features) -> Optional[Dict[str, Any]]:
     return meta
 
 
+def _features_fallback(audio: np.ndarray, sr: int):
+    """Per-stage feature build when the fused bundle is unavailable.
+
+    Mirrors the reference's whole-track fallback (features_cache.py:483
+    build_feature_cache) with the same device-runtime resilience contract as
+    the bundle itself: one retry, then CPU execution.
+    """
+    from audio_cut_tpu.utils.resilience import run_with_device_fallback
+
+    return run_with_device_fallback(
+        lambda: build_track_features(audio, sr), label="track_features"
+    )
+
+
 def _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr):
-    """Fused detection-envelope pass (see analysis/bundle.py)."""
-    try:
+    """Fused detection-envelope pass (see analysis/bundle.py).
+
+    Failure handling (reference analog: ORT CUDA session failure -> CPU
+    session rebuild, backends.py:234-244): first attempt reuses the device
+    handles left in HBM by the separation OLA; on a device-runtime error the
+    rebuild re-uploads FRESH host arrays (a poisoned handle from a wedged
+    transfer must not be reused), retries once after a backoff, then runs the
+    same program on CPU. Returns None only when every attempt failed — the
+    caller then falls back to per-stage kernels.
+    """
+    from audio_cut_tpu.utils.resilience import is_device_runtime_error, run_with_device_fallback
+
+    def attempt(use_sep_handles: bool):
         import jax.numpy as jnp  # noqa: PLC0415
 
         from audio_cut_tpu.analysis.bundle import build_detection_bundle
         from audio_cut_tpu.analysis.features import pad_to_bucket
 
-        mix_dev = getattr(sep, "mix_device", None)
-        vocal_dev = getattr(sep, "vocal_device", None)
+        mix_dev = getattr(sep, "mix_device", None) if use_sep_handles else None
+        vocal_dev = getattr(sep, "vocal_device", None) if use_sep_handles else None
         if vocal_dev is None:
             vocal_dev = jnp.asarray(pad_to_bucket(vocal, sr))
         if mix_dev is None:
@@ -393,8 +418,18 @@ def _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr):
             guard_win_ms=float(eqc.get("win_ms", 80)),
             refine_win_ms=float(lbr.get("window_ms", 5)),
         )
+
+    try:
+        return attempt(True)
+    except Exception as exc:
+        logger.warning(
+            "detection bundle failed (%s); rebuilding from host arrays",
+            exc, exc_info=not is_device_runtime_error(exc),
+        )
+    try:
+        return run_with_device_fallback(lambda: attempt(False), label="detection_bundle")
     except Exception:
-        logger.warning("detection bundle failed; falling back to per-stage kernels", exc_info=True)
+        logger.warning("detection bundle unavailable; falling back to per-stage kernels", exc_info=True)
         return None
 
 

@@ -160,7 +160,6 @@ class SeparationEngine:
         base_w[-ramp_len:] = np.linspace(1.0, 0.0, ramp_len, endpoint=False) + 1e-6
 
         t0 = time.time()
-        compute_s = 0.0
         pending = []  # (plan, device vocal, device inst) — drain with 1 in flight
         padded = audio if n >= window else np.pad(audio, (0, window - n))
 
@@ -168,21 +167,22 @@ class SeparationEngine:
             seg = padded[plan.start:plan.start + window]
             if seg.shape[-1] < window:
                 seg = np.pad(seg, (0, window - seg.shape[-1]))
-            tc = time.time()
             v_dev, i_dev = self.backend.separate_window(jnp.asarray(seg))
             pending.append((plan, v_dev, i_dev))
-            compute_s += time.time() - tc
             if len(pending) > 1:
                 self._accumulate(pending.pop(0), window, n, base_w, halo, vocal, inst, weight)
         while pending:
             self._accumulate(pending.pop(0), window, n, base_w, halo, vocal, inst, weight)
 
         w = np.maximum(weight, 1e-9)
+        # total_ms is fenced by construction: _accumulate downloads every
+        # window result, so the clock includes all device compute. Per-window
+        # compute timing is deliberately NOT reported — an unfenced clock
+        # around async dispatch measures enqueue only.
         meta = {
             "gpu_pipeline_backend": self._backend_name,
             "gpu_pipeline_chunks": len(plans),
             "gpu_pipeline_window_samples": window,
-            "gpu_pipeline_compute_ms": round(compute_s * 1000.0, 3),
             "gpu_pipeline_total_ms": round((time.time() - t0) * 1000.0, 3),
             "gpu_pipeline_device": "tpu",
         }
@@ -281,31 +281,44 @@ class SeparationEngine:
         padded_len = ((padded_len + self.align - 1) // self.align) * self.align
         fn, n_chunks = self._device_ola_fn(padded_len)
 
+        import jax
+
         t0 = time.time()
         padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
         vocal, inst = fn(jnp.asarray(padded))
+        # fence before timing: async dispatch returns immediately, so an
+        # unfenced clock measures host enqueue, not device compute (the
+        # reference fenced with torch.cuda.synchronize, backends.py:183-214).
+        # Fencing here also surfaces runtime failures inside the engine's
+        # fallback chain instead of leaking them into downstream consumers.
+        jax.block_until_ready((vocal, inst))
         meta = {
             "gpu_pipeline_backend": self._backend_name,
             "gpu_pipeline_chunks": n_chunks,
             "gpu_pipeline_window_samples": padded_len,
+            "gpu_pipeline_compute_ms": round((time.time() - t0) * 1000.0, 3),
             "gpu_pipeline_total_ms": round((time.time() - t0) * 1000.0, 3),
-            "gpu_pipeline_device": "tpu",
+            "gpu_pipeline_device": _platform_of(vocal),
             "gpu_pipeline_mode": "device_ola",
         }
         return vocal[:n], inst[:n], meta
 
     # -- public API (parity: separate_for_detection) -----------------------
 
+    def _separate_once(self, audio: np.ndarray):
+        if hasattr(self.backend, "separate_windows_fn"):
+            vocal_dev, inst_dev, meta = self.separate_on_device(audio)
+            vocal = np.asarray(vocal_dev)
+            inst = np.asarray(inst_dev)
+        else:
+            vocal, inst, meta = self.separate_chunked(audio)
+            vocal_dev = inst_dev = None
+        return vocal, inst, vocal_dev, inst_dev, meta
+
     def separate_for_detection(self, audio: np.ndarray) -> SeparationResult:
         audio = np.asarray(audio, dtype=np.float32)
         try:
-            if hasattr(self.backend, "separate_windows_fn"):
-                vocal_dev, inst_dev, meta = self.separate_on_device(audio)
-                vocal = np.asarray(vocal_dev)
-                inst = np.asarray(inst_dev)
-            else:
-                vocal, inst, meta = self.separate_chunked(audio)
-                vocal_dev = inst_dev = None
+            vocal, inst, vocal_dev, inst_dev, meta = self._separate_once(audio)
         except Exception as exc:
             if not self.enable_fallback:
                 raise
@@ -320,8 +333,25 @@ class SeparationEngine:
                 self._backend = None
                 self._backend_name = "spectral"
                 return self.separate_for_detection(audio)
-            logger.error("separation failed (%s)", exc)
-            return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
+            # the spectral backend itself failed — a device-runtime error
+            # (e.g. wedged tunnel mid-transfer) gets one backoff retry and a
+            # CPU re-run before we give up (reference ORT session-rebuild
+            # chain, backends.py:234-244, 366-371)
+            from audio_cut_tpu.utils.resilience import (
+                is_device_runtime_error,
+                run_with_device_fallback,
+            )
+
+            if not is_device_runtime_error(exc):
+                logger.error("separation failed (%s)", exc)
+                return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
+            try:
+                vocal, inst, vocal_dev, inst_dev, meta = run_with_device_fallback(
+                    lambda: self._separate_once(audio), label="separation"
+                )
+            except Exception as exc2:
+                logger.error("separation failed after retries (%s)", exc2)
+                return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
 
         confidence = _estimate_confidence(audio, vocal)
         result = SeparationResult(
@@ -334,6 +364,14 @@ class SeparationEngine:
         result.vocal_device = vocal_dev  # device handles for downstream fusion
         result.instrumental_device = inst_dev
         return result
+
+
+def _platform_of(arr) -> str:
+    """Platform the array actually lives on (CPU fallback must not claim tpu)."""
+    try:
+        return next(iter(arr.devices())).platform
+    except Exception:
+        return "unknown"
 
 
 def _estimate_confidence(mix: np.ndarray, vocal: np.ndarray) -> float:

@@ -1,0 +1,197 @@
+"""Device-runtime resilience: error classification, retry, CPU fallback.
+
+VERDICT round-1 weak #1/#2: the bundle fallback crashed (pure_vocal.py:69
+dereferenced None) and nothing handled a mid-run FAILED_PRECONDITION. These
+tests pin the repaired behavior (reference analog: ORT CUDA session failure
+-> CPU session rebuild, backends.py:234-244).
+"""
+
+import numpy as np
+import pytest
+
+from audio_cut_tpu.utils.resilience import (
+    is_device_runtime_error,
+    run_with_device_fallback,
+)
+
+
+class FakeXlaRuntimeError(Exception):
+    pass
+
+
+FakeXlaRuntimeError.__name__ = "XlaRuntimeError"
+
+
+def _wedged(msg="FAILED_PRECONDITION: TPU backend error (FailedPrecondition)"):
+    return RuntimeError(msg)
+
+
+class TestClassification:
+    def test_failed_precondition_message(self):
+        assert is_device_runtime_error(_wedged())
+
+    def test_xla_runtime_error_type_name(self):
+        assert is_device_runtime_error(FakeXlaRuntimeError("boom"))
+
+    def test_resource_exhausted(self):
+        assert is_device_runtime_error(RuntimeError("RESOURCE_EXHAUSTED: oom"))
+
+    def test_programming_errors_not_retried(self):
+        assert not is_device_runtime_error(TypeError("bad arg"))
+        assert not is_device_runtime_error(ValueError("shape mismatch"))
+        assert not is_device_runtime_error(RuntimeError("plain failure"))
+
+    def test_chained_cause(self):
+        outer = RuntimeError("wrapper")
+        outer.__cause__ = _wedged()
+        assert is_device_runtime_error(outer)
+
+
+class TestRetry:
+    def test_transient_error_retried(self):
+        calls = {"n": 0}
+
+        def thunk():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise _wedged()
+            return "ok"
+
+        out = run_with_device_fallback(thunk, label="t", retries=1, backoff_s=0.0)
+        assert out == "ok"
+        assert calls["n"] == 2
+
+    def test_non_device_error_propagates_immediately(self):
+        calls = {"n": 0}
+
+        def thunk():
+            calls["n"] += 1
+            raise ValueError("bug")
+
+        with pytest.raises(ValueError):
+            run_with_device_fallback(thunk, label="t", retries=3, backoff_s=0.0)
+        assert calls["n"] == 1
+
+    def test_exhausted_retries_raise_last_device_error(self):
+        def thunk():
+            raise _wedged()
+
+        # default backend is CPU under the test harness, so the CPU-fallback
+        # leg is skipped and the device error must surface
+        with pytest.raises(RuntimeError, match="FAILED_PRECONDITION"):
+            run_with_device_fallback(thunk, label="t", retries=2, backoff_s=0.0)
+
+    def test_success_first_try_no_retries(self):
+        calls = {"n": 0}
+
+        def thunk():
+            calls["n"] += 1
+            return 42
+
+        assert run_with_device_fallback(thunk, label="t", retries=5, backoff_s=0.0) == 42
+        assert calls["n"] == 1
+
+
+class TestEngineRuntimeFallback:
+    def test_spectral_runtime_failure_retries_then_succeeds(self, monkeypatch, sine_audio):
+        from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+        from audio_cut_tpu.separation.engine import SeparationEngine
+
+        audio, sr = sine_audio
+        set_runtime_config({
+            "device_pipeline.runtime_retries": 1,
+            "device_pipeline.retry_backoff_s": 0.0,
+        })
+        try:
+            eng = SeparationEngine(sr)
+            real = SeparationEngine._separate_once
+            calls = {"n": 0}
+
+            def flaky(self, a):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise _wedged()
+                return real(self, a)
+
+            monkeypatch.setattr(SeparationEngine, "_separate_once", flaky)
+            res = eng.separate_for_detection(audio)
+            assert res.vocal_track is not None
+            assert res.backend_used == "spectral"
+            assert calls["n"] == 2
+        finally:
+            reset_runtime_config()
+
+    def test_unrecoverable_failure_returns_none_result(self, monkeypatch, sine_audio):
+        from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+        from audio_cut_tpu.separation.engine import SeparationEngine
+
+        audio, sr = sine_audio
+        set_runtime_config({
+            "device_pipeline.runtime_retries": 0,
+            "device_pipeline.retry_backoff_s": 0.0,
+        })
+        try:
+            eng = SeparationEngine(sr)
+
+            def dead(self, a):
+                raise _wedged()
+
+            monkeypatch.setattr(SeparationEngine, "_separate_once", dead)
+            res = eng.separate_for_detection(audio)
+            assert res.vocal_track is None
+            assert res.backend_used == "none"
+        finally:
+            reset_runtime_config()
+
+
+class TestBundleFallback:
+    def test_pipeline_survives_bundle_none(self, tmp_path, monkeypatch, song_audio):
+        """Stub _build_bundle -> None: full manifest must still be produced.
+
+        This is the exact round-1 bench crash path (BENCH_r01.json rc=1,
+        AttributeError at pure_vocal.py:69).
+        """
+        from audio_cut_tpu.api import separate_and_segment
+        from audio_cut_tpu.io import write_wav
+        import audio_cut_tpu.pipeline.modes.pure_vocal as pv
+
+        monkeypatch.setattr(pv, "_build_bundle", lambda *a, **k: None)
+
+        audio, sr = song_audio
+        p = tmp_path / "song.wav"
+        write_wav(p, audio, sr, subtype="FLOAT")
+        manifest = separate_and_segment(
+            input_uri=str(p), export_dir=str(tmp_path / "out"), mode="v2.2_mdd"
+        )
+        assert manifest["success"] is True
+        assert manifest["stats"]["num_segments"] >= 2
+        # reconstruction still exact
+        total = sum(s["duration"] for s in manifest["segments"])
+        assert abs(total - len(audio) / sr) < 1e-6
+
+    def test_bundle_rebuilds_from_host_on_poisoned_handles(self, song_audio):
+        """A failing fused pass falls back to fresh host arrays, not None."""
+        import types
+
+        from audio_cut_tpu.pipeline.modes.pure_vocal import _build_bundle
+
+        audio, sr = song_audio
+
+        class Poisoned:
+            @property
+            def shape(self):
+                raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+
+        sep = types.SimpleNamespace(mix_device=Poisoned(), vocal_device=Poisoned())
+        from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+
+        set_runtime_config({
+            "device_pipeline.runtime_retries": 0,
+            "device_pipeline.retry_backoff_s": 0.0,
+        })
+        try:
+            bundle = _build_bundle(None, audio, audio, sep, sr, {}, {})
+        finally:
+            reset_runtime_config()
+        assert bundle is not None
+        assert bundle.features.n_frames > 0
