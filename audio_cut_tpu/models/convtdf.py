@@ -213,37 +213,15 @@ class ConvTDFBackend:
     def _tiled_separate(self, params: Any, x: jnp.ndarray, length: int):
         """Tile a long window into BATCHED model windows (50% overlap,
         triangular cross-fade OLA) — one MXU-friendly batched forward."""
-        target = self.sep.window_samples
-        stride = target // 2
-        n = max(1, -(-(max(length - target, 0)) // stride) + 1)
-        padded_len = (n - 1) * stride + target
-        xp = jnp.pad(x, (0, padded_len - x.shape[-1]))
-        # dense framing: stride divides target (target = 2*stride)
-        cols = [
-            jax.lax.slice_in_dim(xp, r * stride, r * stride + n * stride).reshape(n, stride)
-            for r in range(2)
-        ]
-        windows = jnp.concatenate(cols, axis=-1)                     # [n, target]
-        vocal_w, _ = self.sep.separate_fn(params, windows, target)   # batched forward
+        from audio_cut_tpu.separation.tiling import tiled_separate
 
-        weight = jnp.concatenate([
-            jnp.linspace(0.0, 1.0, stride, endpoint=False) + 1e-3,
-            jnp.linspace(1.0, 0.0, stride, endpoint=False) + 1e-3,
-        ]).astype(jnp.float32)
-        weighted = vocal_w * weight[None, :]
-        acc = jnp.zeros(padded_len, jnp.float32)
-        wacc = jnp.zeros(padded_len, jnp.float32)
-        blocks = weighted.reshape(n, 2, stride)
-        wblocks = jnp.broadcast_to(weight.reshape(2, stride), (n, 2, stride))
-        for r in range(2):
-            flat = blocks[:, r, :].reshape(n * stride)
-            wflat = wblocks[:, r, :].reshape(n * stride)
-            cur = jax.lax.dynamic_slice_in_dim(acc, r * stride, n * stride)
-            acc = jax.lax.dynamic_update_slice_in_dim(acc, cur + flat, r * stride, axis=0)
-            wcur = jax.lax.dynamic_slice_in_dim(wacc, r * stride, n * stride)
-            wacc = jax.lax.dynamic_update_slice_in_dim(wacc, wcur + wflat, r * stride, axis=0)
-        vocal = (acc / jnp.maximum(wacc, 1e-6))[:length]
-        return vocal, x[:length] - vocal
+        target = self.sep.window_samples
+
+        def forward(windows: jnp.ndarray) -> jnp.ndarray:
+            vocal_w, _ = self.sep.separate_fn(params, windows, target)
+            return vocal_w
+
+        return tiled_separate(forward, target, x, length)
 
     def separate_window(self, window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self._tiled(self.params, window, int(window.shape[-1]))

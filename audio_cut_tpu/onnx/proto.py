@@ -275,7 +275,7 @@ def parse_attribute(buf: bytes) -> Attribute:
                     v, pos = _read_varint(val, pos)
                     ints.append(v - (1 << 64) if v >= (1 << 63) else v)
             else:
-                ints.append(val)
+                ints.append(val - (1 << 64) if val >= (1 << 63) else val)
         elif fnum == 9 and wtype == 2:
             strings.append(val)
         elif fnum == 20 and wtype == 0:

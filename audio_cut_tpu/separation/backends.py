@@ -137,4 +137,8 @@ def make_backend(name: str, sample_rate: int):
         from audio_cut_tpu.models.convtdf import ConvTDFBackend
 
         return ConvTDFBackend(sample_rate)
+    if name == "onnx":
+        from audio_cut_tpu.separation.onnx_backend import OnnxSeparatorBackend
+
+        return OnnxSeparatorBackend(sample_rate)
     raise ValueError(f"unknown separation backend {name!r}")

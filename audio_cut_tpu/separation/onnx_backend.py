@@ -1,0 +1,145 @@
+"""MDX-class ONNX separation backend: real weights, XLA execution.
+
+Parity: the reference's production separator is MDX23 `Kim_Vocal_1.onnx`
+driven per-chunk through onnxruntime with torch STFT/iSTFT glue (reference
+src/audio_cut/separation/backends.py:90-388 — model discovery :145-168,
+window batching :299-330, STFT conventions from the vendored
+Conv_TDF_net_trim: n_fft=6144, hop=1024, dim_f=2048, dim_t=256, input
+[B, 4, dim_f, dim_t] with (re, im) pairs per stereo channel, hann window,
+center=True, masked bins complement-padded with zeros).
+
+TPU design: the `.onnx` graph is parsed in-process (audio_cut_tpu.onnx — no
+onnxruntime) and traced into ONE jitted program together with the STFT,
+iSTFT and tile OLA: STFT -> mask net -> iSTFT fuse into a single XLA
+executable whose matmuls/convs run on the MXU. Weights are a params pytree
+resident in HBM across calls.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_cut_tpu.config import get_config
+from audio_cut_tpu.ops.stft import istft, stft
+from audio_cut_tpu.separation.tiling import tiled_separate
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_SEARCH = (
+    "models",
+    "models/MDX23",
+    os.path.join(os.path.expanduser("~"), ".cache", "audio_cut_tpu", "models"),
+)
+
+
+def discover_model(path_cfg: Optional[str]) -> str:
+    """Locate the ONNX model file (reference backends.py:145-168).
+
+    Order: explicit config path -> AUDIO_CUT_ONNX_MODEL env -> default
+    filename searched in conventional model directories.
+    """
+    candidates = []
+    if path_cfg:
+        candidates.append(path_cfg)
+    env = os.environ.get("AUDIO_CUT_ONNX_MODEL")
+    if env:
+        candidates.append(env)
+    filename = os.environ.get("MDX23_MODEL_FILENAME", "Kim_Vocal_1.onnx")
+    for d in _DEFAULT_SEARCH:
+        candidates.append(os.path.join(d, filename))
+    for c in candidates:
+        if c and Path(c).is_file():
+            return str(c)
+    raise FileNotFoundError(
+        f"no ONNX separation model found (looked at {candidates}); set "
+        "enhanced_separation.onnx.model_path or AUDIO_CUT_ONNX_MODEL"
+    )
+
+
+class OnnxSeparatorBackend:
+    """Engine-facing backend executing MDX-geometry ONNX mask nets via XLA."""
+
+    name = "onnx"
+
+    def __init__(self, sample_rate: int):
+        from audio_cut_tpu.onnx import build_jax_fn, load_model, validate_graph
+
+        cfg = get_config("enhanced_separation.onnx", {}) or {}
+        self.sample_rate = int(sample_rate)
+        self.n_fft = int(cfg.get("n_fft", 6144))
+        self.hop = int(cfg.get("hop", 1024))
+        self.dim_f = int(cfg.get("dim_f", 2048))
+        self.dim_t = int(cfg.get("dim_t", 256))
+        self.window_samples = self.hop * (self.dim_t - 1)
+
+        path = discover_model(cfg.get("model_path"))
+        graph = load_model(path)
+        unsupported = validate_graph(graph)
+        if unsupported:
+            raise ValueError(f"ONNX model {path} uses unsupported ops: {unsupported}")
+        fn, params = build_jax_fn(graph)
+        self._graph_fn = fn
+        self.params = jax.device_put(params)
+        self._n_graph_inputs = len(graph.inputs)
+        if self._n_graph_inputs != 1:
+            raise ValueError(f"expected a single-input mask net, got {graph.inputs}")
+
+        # output semantics from filename (reference backends.py:198-208)
+        output = str(cfg.get("output", "auto"))
+        if output == "auto":
+            output = "vocals" if "vocal" in Path(path).name.lower() else "instrumental"
+        self.output = output
+        self.model_path = path
+        self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
+        logger.info("ONNX separator: %s (output=%s, window=%d samples)",
+                    path, output, self.window_samples)
+
+    # -- fused STFT -> mask net -> iSTFT over a batch of mono windows --------
+
+    def _forward_windows(self, params, windows: jnp.ndarray) -> jnp.ndarray:
+        """[n, window_samples] mono -> [n, window_samples] model stem."""
+        n = windows.shape[0]
+        stereo = jnp.broadcast_to(windows[:, None, :], (n, 2, windows.shape[-1]))
+        spec = stft(stereo, n_fft=self.n_fft, hop=self.hop, center=True)  # [n,2,T,Fall]
+        spec = spec[..., :self.dim_t, :]
+        crop = spec[..., :self.dim_f]
+        # ONNX layout [B, 4, F, T]; channel order (L_re, L_im, R_re, R_im)
+        ri = jnp.stack([crop.real, crop.imag], axis=2)       # [n,2,2,T,F]
+        x = ri.reshape(n, 4, self.dim_t, self.dim_f)
+        x = jnp.swapaxes(x, -1, -2).astype(jnp.float32)      # [n,4,F,T]
+
+        (y,) = self._graph_fn(params, x)                      # [n,4,F,T]
+
+        y = jnp.swapaxes(y, -1, -2).reshape(n, 2, 2, self.dim_t, self.dim_f)
+        stem = (y[:, :, 0] + 1j * y[:, :, 1]).astype(jnp.complex64)   # [n,2,T,F]
+        pad = jnp.zeros_like(spec[..., self.dim_f:])
+        full = jnp.concatenate([stem, pad], axis=-1)
+        wave = istft(full, n_fft=self.n_fft, hop=self.hop, length=windows.shape[-1])
+        return jnp.mean(wave, axis=1)                         # stereo -> mono
+
+    def _tiled_separate(self, params, x: jnp.ndarray, length: int):
+        stem, rest = tiled_separate(
+            functools.partial(self._forward_windows, params),
+            self.window_samples, x, length,
+        )
+        if self.output == "vocals":
+            return stem, rest
+        return rest, stem  # model emitted the instrumental; vocal by subtraction
+
+    # -- engine seam ---------------------------------------------------------
+
+    def separate_window(self, window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._tiled(self.params, window, int(window.shape[-1]))
+
+    def separate(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        audio = np.asarray(audio, dtype=np.float32)
+        v, i = self._tiled(self.params, jnp.asarray(audio), int(audio.shape[-1]))
+        return np.asarray(v), np.asarray(i)

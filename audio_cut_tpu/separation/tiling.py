@@ -1,0 +1,75 @@
+"""Model-window tiling with 50% overlap-add, shared by neural backends.
+
+The engine feeds backends fixed windows (multiples of align_hop); neural mask
+nets have their OWN native window (hop * (dim_t - 1) samples). This helper
+tiles an engine window into a BATCH of model windows — one MXU-friendly
+batched forward — and cross-fades them back (triangular OLA). Parity role:
+the reference's per-chunk gen_size/trim window batching loop
+(reference src/audio_cut/separation/backends.py:299-330), redesigned as a
+single static-shape program instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def tiled_forward(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    window_samples: int,
+    x: jnp.ndarray,
+    length: int,
+) -> jnp.ndarray:
+    """Apply ``forward`` ([n, window_samples] -> [n, window_samples]) over
+    50%-overlapped tiles of 1-D ``x``; returns the OLA-merged [length] signal.
+
+    stride = window/2, so every interior sample is covered by exactly two
+    tiles; the triangular cross-fade weights sum to ~1 everywhere and the
+    explicit weight accumulator normalises the edges.
+    """
+    target = int(window_samples)
+    stride = target // 2
+    n = max(1, -(-(max(length - target, 0)) // stride) + 1)
+    padded_len = (n - 1) * stride + target
+    xp = jnp.pad(x, (0, padded_len - x.shape[-1]))
+
+    # dense framing: stride divides target (target = 2*stride)
+    cols = [
+        jax.lax.slice_in_dim(xp, r * stride, r * stride + n * stride).reshape(n, stride)
+        for r in range(2)
+    ]
+    windows = jnp.concatenate(cols, axis=-1)      # [n, target]
+    y = forward(windows)                           # [n, target]
+
+    weight = jnp.concatenate([
+        jnp.linspace(0.0, 1.0, stride, endpoint=False) + 1e-3,
+        jnp.linspace(1.0, 0.0, stride, endpoint=False) + 1e-3,
+    ]).astype(jnp.float32)
+    weighted = y * weight[None, :]
+    acc = jnp.zeros(padded_len, jnp.float32)
+    wacc = jnp.zeros(padded_len, jnp.float32)
+    blocks = weighted.reshape(n, 2, stride)
+    wblocks = jnp.broadcast_to(weight.reshape(2, stride), (n, 2, stride))
+    for r in range(2):
+        flat = blocks[:, r, :].reshape(n * stride)
+        wflat = wblocks[:, r, :].reshape(n * stride)
+        cur = jax.lax.dynamic_slice_in_dim(acc, r * stride, n * stride)
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, cur + flat, r * stride, axis=0)
+        wcur = jax.lax.dynamic_slice_in_dim(wacc, r * stride, n * stride)
+        wacc = jax.lax.dynamic_update_slice_in_dim(wacc, wcur + wflat, r * stride, axis=0)
+    return (acc / jnp.maximum(wacc, 1e-6))[:length]
+
+
+def tiled_separate(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    window_samples: int,
+    x: jnp.ndarray,
+    length: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vocal via tiled forward; instrumental by subtraction (MDX convention,
+    reference backends.py:198-208 output_type + complement-by-subtraction)."""
+    vocal = tiled_forward(forward, window_samples, x, length)
+    return vocal, x[:length] - vocal
