@@ -104,9 +104,14 @@ class VocalPhraseBoundaryDetector:
             breath_score_scale=float(get_config("vpbd.breath_score_scale", 0.6)),
         )
 
+        # rollback switch (reference scripts/vpbd_rollback_diff_gate.py):
+        # candidate_pool=legacy pins the v2.6-era acoustic-only pool — no
+        # weak-beat and no lyrics candidates enter the planner
+        pool_mode = str(get_config("vpbd.candidate_pool", "unified"))
+
         beat_pool: List[CutCandidate] = []
         bc_cfg = get_config("vpbd.beat_candidates", {}) or {}
-        if bc_cfg.get("enable", True):
+        if pool_mode != "legacy" and bc_cfg.get("enable", True):
             import jax.numpy as jnp
 
             from audio_cut_tpu.ops.frames import frame_rms
@@ -121,7 +126,11 @@ class VocalPhraseBoundaryDetector:
             )
 
         lyric_pool: List[CutCandidate] = []
-        if effective_mode == "vpbd_asr" and (timeline.words or timeline.sentences or timeline.vad_regions):
+        if (
+            pool_mode != "legacy"
+            and effective_mode == "vpbd_asr"
+            and (timeline.words or timeline.sentences or timeline.vad_regions)
+        ):
             lyric_pool = LyricsBoundaryCandidateGenerator().generate(timeline)
 
         pool = merge_candidate_pool([acoustic, beat_pool, lyric_pool], cluster_ms=120.0)
@@ -130,6 +139,7 @@ class VocalPhraseBoundaryDetector:
             "beat": len(beat_pool),
             "lyrics": len(lyric_pool),
             "merged": len(pool),
+            "pool_mode": pool_mode,
         }
 
         # -- scoring ------------------------------------------------------------

@@ -23,10 +23,56 @@ from audio_cut_tpu.io.wavio import read_wav, write_wav
 logger = logging.getLogger(__name__)
 
 _SUPPORTED_EXTS = {".wav", ".wave"}
+_FFMPEG_EXTS = {".mp3", ".flac", ".m4a", ".mp4", ".ogg", ".opus", ".aac", ".wma"}
 _UNSUPPORTED_HINT = (
-    "only WAV input is supported in this build (no mp3/flac/m4a decoder is "
-    "bundled); convert with `ffmpeg -i {src} -acodec pcm_s24le out.wav` first"
+    "cannot decode {src}: no ffmpeg on PATH and no {ext} decoder is bundled; "
+    "install ffmpeg or convert with `ffmpeg -i {src} -acodec pcm_s24le out.wav` first"
 )
+
+
+def ffmpeg_available() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _decode_via_ffmpeg(path: Path) -> Tuple[np.ndarray, int]:
+    """Decode a compressed file through an ffmpeg subprocess to raw float32.
+
+    Parity: the reference accepts mp3/wav/flac/m4a via librosa/audioread
+    (reference src/vocal_smart_splitter/utils/audio_processor.py:45; CLI
+    examples are .mp3, run_splitter.py:59-62). This mirrors the export-side
+    ffmpeg gating in io/export.py — a host-process seam, no new libraries.
+    """
+    import json
+    import subprocess
+
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "a:0",
+         "-show_entries", "stream=sample_rate,channels", "-of", "json", str(path)],
+        capture_output=True,
+    )
+    sr, channels = 44100, 2
+    if probe.returncode == 0:
+        try:
+            info = json.loads(probe.stdout)["streams"][0]
+            sr = int(info.get("sample_rate", sr))
+            channels = int(info.get("channels", channels))
+        except (KeyError, IndexError, ValueError, json.JSONDecodeError):
+            pass
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", str(path),
+         "-f", "f32le", "-acodec", "pcm_f32le", "-"],
+        capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise AudioIOError(
+            f"ffmpeg failed to decode {path.name}: {proc.stderr.decode(errors='replace')[:300]}"
+        )
+    flat = np.frombuffer(proc.stdout, dtype="<f4")
+    if channels > 1:
+        flat = flat[: (flat.size // channels) * channels].reshape(-1, channels)
+    return flat.astype(np.float32), sr
 
 
 def to_mono(audio: np.ndarray) -> np.ndarray:
@@ -55,9 +101,18 @@ def load_audio(
     p = Path(path)
     if not p.exists():
         raise AudioIOError(f"audio file not found: {p}")
-    if p.suffix.lower() not in _SUPPORTED_EXTS:
-        raise AudioIOError(_UNSUPPORTED_HINT.format(src=p.name))
-    audio, sr = read_wav(p)
+    ext = p.suffix.lower()
+    if ext in _SUPPORTED_EXTS:
+        audio, sr = read_wav(p)
+    elif ext in _FFMPEG_EXTS:
+        if not ffmpeg_available():
+            raise AudioIOError(_UNSUPPORTED_HINT.format(src=p.name, ext=ext))
+        audio, sr = _decode_via_ffmpeg(p)
+    else:
+        raise AudioIOError(
+            f"unsupported audio format {ext!r} for {p.name}; "
+            f"supported: wav natively, {sorted(_FFMPEG_EXTS)} via ffmpeg"
+        )
     if mono:
         audio = to_mono(audio)
     if target_sr is not None and target_sr != sr:

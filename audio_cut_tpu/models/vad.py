@@ -54,8 +54,31 @@ class ConvVADNet(nn.Module):
         return logits
 
 
+# fixed inference window: one compiled program serves every track length.
+# 8 s interior + 0.25 s halo each side (the conv receptive field is ~0.3 s,
+# so trimmed halo frames remove all window-edge artifacts).
+WINDOW_S = 8.0
+HALO_S = 0.25
+
+# packaged bootstrap checkpoint (trained by scripts/train_vad.py on the
+# synthetic voice-vs-music generator in training/vad_train.py)
+DEFAULT_CHECKPOINT = "weights/convvad_v1.msgpack"
+
+
+def load_vad_params(net: ConvVADNet, checkpoint: str) -> Any:
+    if str(checkpoint).endswith(".msgpack"):
+        from flax import serialization
+
+        template = net.init(jax.random.PRNGKey(0), jnp.zeros((1, LENGTH_BUCKET)))["params"]
+        with open(checkpoint, "rb") as f:
+            return serialization.from_bytes(template, f.read())
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(checkpoint)
+
+
 class ConvVAD:
-    """Operational wrapper: native-SR audio in, speech segments out."""
+    """Operational wrapper: native-SR audio in, VadResult out."""
 
     def __init__(self, sample_rate: int, checkpoint: Optional[str] = None,
                  threshold: float = 0.5):
@@ -63,28 +86,48 @@ class ConvVAD:
         self.threshold = float(threshold)
         self.net = ConvVADNet()
         if checkpoint:
-            import orbax.checkpoint as ocp
-
-            self.params = ocp.StandardCheckpointer().restore(checkpoint)
+            self.params = load_vad_params(self.net, checkpoint)
+            self.trained = True
         else:
             dummy = jnp.zeros((1, LENGTH_BUCKET), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(0), dummy)["params"]
+            self.trained = False
         self._fwd = jax.jit(lambda p, x: jax.nn.sigmoid(self.net.apply({"params": p}, x)))
 
     def speech_probs(self, audio: np.ndarray) -> Tuple[np.ndarray, float]:
-        """(per-frame speech probability, frames-per-second at native scale)."""
+        """(per-frame speech probability, frames-per-second at native scale).
+
+        Long tracks run as ONE batched forward over fixed overlapped windows
+        (halo-trimmed), so a single compile serves every track length —
+        replacing the reference's per-chunk Silero loop (silero_chunk_vad.py).
+        """
         from audio_cut_tpu.io.audio import resample_poly, to_mono
 
         x16 = resample_poly(to_mono(np.asarray(audio, np.float32)), self.native_sr, VAD_SR)
-        pad = (-x16.shape[-1]) % LENGTH_BUCKET
-        xp = np.pad(x16, (0, pad))
-        probs = np.asarray(self._fwd(self.params, jnp.asarray(xp[None, :]))[0])
         true_frames = x16.shape[-1] // FRAME
+
+        halo = int(HALO_S * VAD_SR) // FRAME * FRAME
+        interior = int(WINDOW_S * VAD_SR) // FRAME * FRAME
+        window = interior + 2 * halo
+        if x16.shape[-1] <= window:
+            pad = (-x16.shape[-1]) % LENGTH_BUCKET
+            probs = np.asarray(self._fwd(self.params, jnp.asarray(np.pad(x16, (0, pad))[None]))[0])
+            return probs[:true_frames], VAD_SR / FRAME
+
+        n = -(-x16.shape[-1] // interior)
+        padded = np.pad(x16, (halo, n * interior + halo - x16.shape[-1]))
+        windows = np.stack([padded[k * interior:k * interior + window] for k in range(n)])
+        probs_w = np.asarray(self._fwd(self.params, jnp.asarray(windows)))
+        hf = halo // FRAME
+        probs = probs_w[:, hf:hf + interior // FRAME].reshape(-1)
         return probs[:true_frames], VAD_SR / FRAME
 
     def detect(self, audio: np.ndarray, min_speech_s: float = 0.1,
-               min_silence_s: float = 0.15) -> List[Tuple[float, float]]:
-        """Speech segments in native-SR seconds."""
+               min_silence_s: float = 0.15, rms_env: Optional[np.ndarray] = None):
+        """Speech segments in native-SR seconds (rms_env accepted for seam
+        compatibility with EnergyGateDetector; unused)."""
+        from audio_cut_tpu.detection.vad import VadResult
+
         probs, fps = self.speech_probs(audio)
         mask = probs > self.threshold
         # close short gaps, drop short bursts
@@ -100,21 +143,39 @@ class ConvVAD:
         for s, e in zip(np.nonzero(edges == 1)[0], np.nonzero(edges == -1)[0]):
             if e - s >= min_sp:
                 out.append((s / fps, e / fps))
-        return out
+        return VadResult(out, fps)
+
+
+def default_checkpoint_path() -> Optional[str]:
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), DEFAULT_CHECKPOINT)
+    return p if os.path.isfile(p) else None
 
 
 def build_vad(sample_rate: int):
-    """Factory honoring `vad.backend` config with energy-gate fallback."""
+    """Factory honoring `vad.backend`/`vad.checkpoint` config.
+
+    Parity: reference Silero init chain (vocal_pause_detector.py:74-123,
+    ONNX -> torch-hub -> disabled). Here: conv + configured checkpoint ->
+    conv + packaged bootstrap checkpoint -> energy gate.
+    """
+    import logging
+
     from audio_cut_tpu.config import get_config
     from audio_cut_tpu.detection.vad import EnergyGateDetector
 
-    backend = str(get_config("vad.backend", "energy_gate"))
+    backend = str(get_config("vad.backend", "conv"))
+    threshold = float(get_config("vad.threshold", 0.5))
     if backend == "conv":
-        ckpt = get_config("vad.checkpoint")
+        ckpt = get_config("vad.checkpoint") or default_checkpoint_path()
         if ckpt:
             try:
-                return ConvVAD(sample_rate, checkpoint=str(ckpt))
-            except Exception:  # pragma: no cover
-                pass
+                return ConvVAD(sample_rate, checkpoint=str(ckpt), threshold=threshold)
+            except Exception as exc:
+                logging.getLogger(__name__).warning(
+                    "conv VAD checkpoint %s failed to load (%s); using energy gate",
+                    ckpt, exc,
+                )
         # a conv VAD without trained weights is worse than the energy gate
     return EnergyGateDetector(sample_rate)

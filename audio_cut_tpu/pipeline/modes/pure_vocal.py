@@ -69,9 +69,13 @@ def process_pure_vocal_split(
     features = bundle.features if bundle is not None else _features_fallback(audio, sr)
 
     # -- VAD focus windows ----------------------------------------------------
-    vad = EnergyGateDetector(sr).detect(
-        vocal, rms_env=bundle.vocal_rms_fine if bundle else None
-    )
+    # learned ConvVAD when a checkpoint is available, energy gate otherwise
+    # (parity: reference Silero-first chain, vocal_pause_detector.py:74-123)
+    from audio_cut_tpu.models.vad import build_vad
+
+    vad_detector = build_vad(sr)
+    vad = vad_detector.detect(vocal, rms_env=bundle.vocal_rms_fine if bundle else None)
+    vad_backend = "conv" if not isinstance(vad_detector, EnergyGateDetector) else "energy_gate"
     acfg = get_config("v2_mdd.advanced_vad", {}) or {}
     focus = to_focus_windows(
         vad.segments,
@@ -303,6 +307,7 @@ def process_pure_vocal_split(
         suppressed_cut_points_sec=suppressed_sec,
     )
     result["segment_layout_applied"] = layout_applied
+    result["vad_backend"] = vad_backend
     if note:
         result["note"] = note
     if auto_profile_meta is not None:

@@ -27,6 +27,47 @@ class VadTrainConfig:
     clip_s: float = 2.0
 
 
+def _voice_burst(rng: np.random.Generator, tt: np.ndarray) -> np.ndarray:
+    """Sung/spoken 'voice': vibrato f0, rolled-off harmonics, syllabic AM."""
+    f0 = rng.uniform(90, 380) * (
+        1 + 0.025 * np.sin(2 * np.pi * rng.uniform(4.5, 7.0) * tt + rng.uniform(0, 6.28))
+    )
+    x = np.zeros(tt.size)
+    for h in range(1, 7):
+        x += np.sin(2 * np.pi * h * np.cumsum(f0) / VAD_SR + rng.uniform(0, 6.28)) / (h ** 1.2)
+    # syllabic amplitude modulation (3-6 Hz) — the strongest voice cue
+    am = 0.35 + 0.65 * np.clip(np.sin(2 * np.pi * rng.uniform(2.5, 6.0) * tt
+                                      + rng.uniform(0, 6.28)), 0.0, None)
+    fade = np.minimum(1.0, np.minimum(np.arange(tt.size), tt.size - np.arange(tt.size))
+                      / (0.02 * VAD_SR))
+    return x * am * fade
+
+
+def _music_bed(rng: np.random.Generator, tt: np.ndarray) -> np.ndarray:
+    """Non-voice bed that can be LOUD: noise, static chords, percussion.
+
+    Loud beds are the whole point — a pure energy gate calls them speech;
+    the conv net must learn the vibrato/AM/harmonic-rolloff voice signature
+    instead of amplitude.
+    """
+    bed = np.zeros(tt.size)
+    kind = rng.random()
+    if kind < 0.3:  # broadband noise
+        bed += rng.standard_normal(tt.size) * rng.uniform(0.01, 0.25)
+    elif kind < 0.65:  # static chord stack (no vibrato, no syllabic AM)
+        root = rng.uniform(55, 440)
+        for ratio in (1.0, 1.5, 2.0, 2.5):
+            bed += rng.uniform(0.05, 0.3) * np.sin(2 * np.pi * root * ratio * tt
+                                                   + rng.uniform(0, 6.28))
+    else:  # percussion: exponential-decay clicks on a beat grid
+        period = rng.uniform(0.25, 0.6)
+        for beat in np.arange(0.0, tt[-1], period):
+            i = int(beat * VAD_SR)
+            env = np.exp(-np.arange(min(1500, tt.size - i)) / rng.uniform(100, 400))
+            bed[i:i + env.size] += rng.uniform(0.2, 0.6) * env * rng.standard_normal(env.size)
+    return bed
+
+
 def synth_batch(rng: np.random.Generator, cfg: VadTrainConfig) -> Tuple[np.ndarray, np.ndarray]:
     """Synthetic (audio, frame_labels): harmonic 'voice' bursts over beds."""
     t_samples = int(cfg.clip_s * VAD_SR)
@@ -35,26 +76,21 @@ def synth_batch(rng: np.random.Generator, cfg: VadTrainConfig) -> Tuple[np.ndarr
     labels = np.zeros((cfg.batch_size, n_frames), np.float32)
     tt = np.arange(t_samples) / VAD_SR
     for b in range(cfg.batch_size):
-        # bed: noise or tonal pad
-        if rng.random() < 0.5:
-            audio[b] += rng.standard_normal(t_samples).astype(np.float32) * rng.uniform(0.005, 0.05)
-        else:
-            f = rng.uniform(60, 300)
-            audio[b] += (rng.uniform(0.01, 0.08) * np.sin(2 * np.pi * f * tt)).astype(np.float32)
-        # voice bursts: f0 with vibrato + harmonics + amplitude modulation
+        audio[b] += _music_bed(rng, tt).astype(np.float32)
+        # voice bursts: f0 with vibrato + harmonics + amplitude modulation;
+        # ~25% of clips are music-only (hard negatives for an energy gate)
         n_bursts = rng.integers(0, 4)
         for _ in range(n_bursts):
             start = rng.uniform(0, cfg.clip_s - 0.3)
-            durr = rng.uniform(0.2, min(1.0, cfg.clip_s - start))
+            durr = rng.uniform(0.2, min(1.2, cfg.clip_s - start))
             seg = (tt >= start) & (tt < start + durr)
-            f0 = rng.uniform(90, 350) * (1 + 0.02 * np.sin(2 * np.pi * rng.uniform(4, 7) * tt[seg]))
-            x = np.zeros(seg.sum())
-            for h in range(1, 6):
-                x += np.sin(2 * np.pi * h * np.cumsum(f0) / VAD_SR) / h
-            am = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * rng.uniform(2, 5) * tt[seg]))
-            audio[b, seg] += (rng.uniform(0.1, 0.5) * x * am).astype(np.float32)
+            gain = rng.uniform(0.15, 0.5)
+            audio[b, seg] += (gain * _voice_burst(rng, tt[seg])).astype(np.float32)
             fa, fb = int(start * VAD_SR // FRAME), int((start + durr) * VAD_SR // FRAME)
             labels[b, fa:min(fb, n_frames)] = 1.0
+        peak = np.abs(audio[b]).max()
+        if peak > 1.0:
+            audio[b] /= peak
     return audio, labels
 
 
@@ -95,6 +131,13 @@ class VadTrainer:
         return {"loss": float(loss), "accuracy": float(acc)}
 
     def save(self, path: str) -> None:
+        if str(path).endswith(".msgpack"):
+            # single-file flax serialization: portable, git-committable
+            from flax import serialization
+
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(self.params))
+            return
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()

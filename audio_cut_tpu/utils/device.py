@@ -35,6 +35,32 @@ def configure_jax(cache_dir: Optional[str] = None) -> None:
     import jax
 
     path = cache_dir or os.environ.get("AUDIO_CUT_TPU_XLA_CACHE", _DEFAULT_CACHE_DIR)
+    # namespace by host CPU fingerprint: XLA:CPU AOT results compiled on a
+    # machine with different vector extensions SIGILL on load (observed when
+    # a cache dir migrated between container hosts)
+    try:
+        import hashlib
+        import platform
+
+        # include the platform selection: TPU-attached processes emit CPU AOT
+        # entries with different XLA target pseudo-features (prefer-no-scatter
+        # etc.) than CPU-only processes, which trips the loader's SIGILL check
+        try:
+            platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        except AttributeError:
+            platforms = os.environ.get("JAX_PLATFORMS", "")
+        fp = platform.machine() + str(platforms)
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        fp += line
+                        break
+        except OSError:
+            pass
+        path = os.path.join(path, hashlib.sha1(fp.encode()).hexdigest()[:10])
+    except Exception:  # pragma: no cover
+        pass
     try:
         Path(path).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -24,10 +24,86 @@ class TestConvVAD:
         assert metrics["loss"] < first["loss"]
         assert metrics["accuracy"] > 0.8, metrics
 
-    def test_build_vad_defaults_to_energy_gate(self):
+    def test_build_vad_default(self):
+        """conv + packaged bootstrap checkpoint when present, else energy gate."""
+        from audio_cut_tpu.detection.vad import EnergyGateDetector
+        from audio_cut_tpu.models.vad import default_checkpoint_path
+
+        vad = build_vad(44100)
+        if default_checkpoint_path():
+            assert isinstance(vad, ConvVAD) and vad.trained
+        else:
+            assert isinstance(vad, EnergyGateDetector)
+
+    def test_build_vad_energy_gate_override(self):
+        from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
         from audio_cut_tpu.detection.vad import EnergyGateDetector
 
-        assert isinstance(build_vad(44100), EnergyGateDetector)
+        set_runtime_config({"vad.backend": "energy_gate"})
+        try:
+            assert isinstance(build_vad(44100), EnergyGateDetector)
+        finally:
+            reset_runtime_config()
+
+    def test_build_vad_bad_checkpoint_falls_back(self, tmp_path):
+        from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+        from audio_cut_tpu.detection.vad import EnergyGateDetector
+        from audio_cut_tpu.models.vad import default_checkpoint_path
+
+        bad = tmp_path / "broken.msgpack"
+        bad.write_bytes(b"not a checkpoint")
+        set_runtime_config({"vad.backend": "conv", "vad.checkpoint": str(bad)})
+        try:
+            vad = build_vad(44100)
+        finally:
+            reset_runtime_config()
+        assert isinstance(vad, EnergyGateDetector)
+
+    def test_msgpack_checkpoint_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from audio_cut_tpu.training.vad_train import VadTrainConfig, VadTrainer
+
+        trainer = VadTrainer(VadTrainConfig(batch_size=4, clip_s=1.0), seed=3)
+        p = tmp_path / "vad.msgpack"
+        trainer.save(str(p))
+        vad = ConvVAD(44100, checkpoint=str(p))
+        assert vad.trained
+        leaves_a = jax.tree_util.tree_leaves(trainer.params)
+        leaves_b = jax.tree_util.tree_leaves(vad.params)
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_windowed_long_track_matches_short_path(self):
+        """Windowed batched inference == whole-clip inference (halo-trimmed)."""
+        vad = ConvVAD(sample_rate=16000)
+        rng = np.random.default_rng(9)
+        short = (rng.standard_normal(16000 * 4) * 0.2).astype(np.float32)
+        p_short, _ = vad.speech_probs(short)
+        # long track: force the windowed path, then compare its first 4 s
+        long = np.concatenate([short, (rng.standard_normal(16000 * 10) * 0.2).astype(np.float32)])
+        p_long, _ = vad.speech_probs(long)
+        n = p_short.shape[0]
+        # interior frames must agree closely (halo covers the receptive field)
+        np.testing.assert_allclose(p_long[8:n - 8], p_short[8:n - 8], atol=5e-2)
+
+    def test_trained_checkpoint_beats_energy_gate(self):
+        """VERDICT done-criterion: conv VAD > energy gate on frame F1."""
+        from audio_cut_tpu.models.vad import default_checkpoint_path
+
+        ckpt = default_checkpoint_path()
+        if ckpt is None:
+            pytest.skip("packaged checkpoint not built yet")
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent.parent / "scripts"))
+        from train_vad import evaluate
+
+        vad = ConvVAD(16000, checkpoint=ckpt)
+        conv_f1, gate_f1 = evaluate(vad.params, vad.net, np.random.default_rng(123))
+        assert conv_f1 > gate_f1, (conv_f1, gate_f1)
+        assert conv_f1 > 0.8, conv_f1
 
     def test_synth_batch_labels_align(self):
         audio, labels = synth_batch(np.random.default_rng(3), VadTrainConfig(batch_size=4, clip_s=1.0))
