@@ -54,6 +54,24 @@ class ConvVADNet(nn.Module):
         return logits
 
 
+# module-level jitted forwards keyed by architecture: a fresh ConvVAD is
+# built per pipeline run, and a per-instance jit lambda would recompile the
+# same program every call (caught by tests/performance zero-recompile gate)
+_FWD_CACHE: dict = {}
+
+
+def _jitted_forward(channels: int, depth: int):
+    key = (channels, depth)
+    if key not in _FWD_CACHE:
+        net = ConvVADNet(channels=channels, depth=depth)
+
+        def fwd(p, x, _net=net):
+            return jax.nn.sigmoid(_net.apply({"params": p}, x))
+
+        _FWD_CACHE[key] = jax.jit(fwd)
+    return _FWD_CACHE[key]
+
+
 # fixed inference window: one compiled program serves every track length.
 # 8 s interior + 0.25 s halo each side (the conv receptive field is ~0.3 s,
 # so trimmed halo frames remove all window-edge artifacts).
@@ -92,7 +110,7 @@ class ConvVAD:
             dummy = jnp.zeros((1, LENGTH_BUCKET), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(0), dummy)["params"]
             self.trained = False
-        self._fwd = jax.jit(lambda p, x: jax.nn.sigmoid(self.net.apply({"params": p}, x)))
+        self._fwd = _jitted_forward(self.net.channels, self.net.depth)
 
     def speech_probs(self, audio: np.ndarray) -> Tuple[np.ndarray, float]:
         """(per-frame speech probability, frames-per-second at native scale).
@@ -115,8 +133,13 @@ class ConvVAD:
             return probs[:true_frames], VAD_SR / FRAME
 
         n = -(-x16.shape[-1] // interior)
-        padded = np.pad(x16, (halo, n * interior + halo - x16.shape[-1]))
-        windows = np.stack([padded[k * interior:k * interior + window] for k in range(n)])
+        # bucket the window count to a power of two: bounded distinct compiles
+        # across track lengths (zero-padded windows are discarded below)
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        padded = np.pad(x16, (halo, n_pad * interior + halo - x16.shape[-1]))
+        windows = np.stack([padded[k * interior:k * interior + window] for k in range(n_pad)])
         probs_w = np.asarray(self._fwd(self.params, jnp.asarray(windows)))
         hf = halo // FRAME
         probs = probs_w[:, hf:hf + interior // FRAME].reshape(-1)

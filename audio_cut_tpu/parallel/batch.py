@@ -1,10 +1,16 @@
-"""Batch serving scale-out: many tracks across a device mesh.
+"""Batch + single-track serving scale-out across a device mesh.
 
 The reference's only multi-GPU story was one-pipeline-per-card, sequentially
-(SURVEY.md §2.11). Here a batch of equal-length windows/tracks is dp-sharded
-over the mesh and the SAME separation program runs SPMD — no collectives are
-needed because tracks are independent (halos only couple chunks WITHIN a
-track, which stay on one device).
+(SURVEY.md §2.11). Two SPMD paths here:
+
+* ``separate_batch_sharded`` — a batch of tracks dp-sharded over the mesh;
+  no collectives (tracks are independent).
+* ``separate_track_sp_sharded`` — ONE long track sequence-parallel across
+  chips. The engine's chunk schedule already makes windows self-contained
+  (each carries its own halo = SURVEY §5 "halo recompute", so no ppermute
+  neighbor exchange is needed); windows shard across every mesh device,
+  each device runs the separation forward + a local weighted OLA into a
+  full-length buffer, and ONE `psum` over ICI assembles the track.
 """
 
 from __future__ import annotations
@@ -69,3 +75,124 @@ def separate_batch_sharded(
     v = np.asarray(v)
     i = np.asarray(i)
     return [(v[k, :lengths[k]], i[k, :lengths[k]]) for k in range(len(tracks))]
+
+
+def separate_track_sp_sharded(
+    audio: np.ndarray,
+    sample_rate: int,
+    mesh=None,
+    backend: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sequence-parallel separation of ONE long track across the whole mesh.
+
+    Windows from the engine's chunk schedule (fixed shape, halo'd — each is
+    self-contained) shard over all mesh devices via shard_map; every device
+    runs the batched backend forward on its windows, overlap-adds them into a
+    full-length local buffer (zero outside its windows), and one ``psum``
+    assembles the track. Scaling: compute is embarrassingly parallel over
+    windows; the only communication is a single track-length all-reduce on
+    ICI. Replaces the reference's strictly sequential chunk loop
+    (enhanced_vocal_separator.py:300-458) at multi-chip scale.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from audio_cut_tpu.config import get_config
+    from audio_cut_tpu.separation.backends import make_backend
+    from audio_cut_tpu.separation.engine import chunk_schedule
+
+    if mesh is None:
+        mesh = make_mesh(dp=len(jax.devices()), sp=1, tp=1)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    axes = tuple(mesh.axis_names)
+
+    audio = np.asarray(audio, dtype=np.float32)
+    n = audio.shape[-1]
+    sr = int(sample_rate)
+    chunk_s = float(get_config("device_pipeline.chunk_seconds", 10.0))
+    overlap_s = float(get_config("device_pipeline.overlap_seconds", 2.5))
+    halo_s = float(get_config("device_pipeline.halo_seconds", 0.5))
+    align = int(get_config("device_pipeline.align_hop", 4096))
+
+    # identical padding to SeparationEngine.separate_on_device (30 s bucket,
+    # then align): the chunk schedule — and thus the output — matches the
+    # single-device engine exactly
+    bucket = int(round(30.0 * sr))
+    padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    padded_len = ((padded_len + align - 1) // align) * align
+    plans, window = chunk_schedule(padded_len, sr, chunk_s, overlap_s, halo_s, align)
+    halo = int(round(halo_s * sr))
+    ramp = max(1, int(round((overlap_s - 2 * halo_s) * sr)))
+
+    # per-window OLA weights (cross-fade + halo zeroing), as in the engine
+    n_win = len(plans)
+    weights = np.ones((n_win, window), dtype=np.float32)
+    for k, p in enumerate(plans):
+        w = weights[k]
+        w[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False) + 1e-6
+        w[-ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False) + 1e-6
+        if p.start > 0:
+            w[:halo] = 0.0
+        if p.start + window < padded_len:
+            w[-halo:] = 0.0
+    wsum = np.full(padded_len, 1e-9, dtype=np.float32)
+    for k, p in enumerate(plans):
+        wsum[p.start:p.start + window] += weights[k]
+    inv_wsum = (1.0 / wsum).astype(np.float32)
+
+    padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
+    wins = np.stack([padded[p.start:p.start + window] for p in plans])
+    starts = np.asarray([p.start for p in plans], dtype=np.int32)
+
+    # pad the window axis to the device count; extra windows carry zero weight
+    pad_w = (-n_win) % n_dev
+    if pad_w:
+        wins = np.concatenate([wins, np.zeros((pad_w, window), np.float32)])
+        weights = np.concatenate([weights, np.zeros((pad_w, window), np.float32)])
+        starts = np.concatenate([starts, np.zeros(pad_w, np.int32)])
+
+    bk = make_backend(
+        backend or str(get_config("enhanced_separation.backend", "spectral")), sr
+    )
+    if not hasattr(bk, "separate_windows_fn"):
+        raise ValueError(f"backend {bk.name!r} has no batched windows path")
+
+    win_spec = P(axes)          # window axis sharded over every mesh axis
+    rep_spec = P()
+
+    def shard_fn(wins_l, weights_l, starts_l):
+        v_l, i_l = bk.separate_windows_fn(wins_l)
+        wv = v_l * weights_l
+        wi = i_l * weights_l
+
+        def ola(acc, xw):
+            w, s = xw
+            cur = jax.lax.dynamic_slice(acc, (s,), (window,))
+            return jax.lax.dynamic_update_slice(acc, cur + w, (s,)), None
+
+        # the zero init is replicated but the scan output is device-varying;
+        # mark it varying over the manual axes so the carry types agree
+        zeros = jnp.zeros(padded_len, jnp.float32)
+        try:
+            zeros = jax.lax.pvary(zeros, axes)
+        except AttributeError:  # older jax spelling
+            zeros = jax.lax.pcast(zeros, axes, to="varying")
+        vocal_l, _ = jax.lax.scan(ola, zeros, (wv, starts_l))
+        inst_l, _ = jax.lax.scan(ola, zeros, (wi, starts_l))
+        vocal = jax.lax.psum(vocal_l, axes)
+        inst = jax.lax.psum(inst_l, axes)
+        return vocal, inst
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(win_spec, win_spec, win_spec),
+        out_specs=(rep_spec, rep_spec),
+    )
+    scale = inv_wsum
+    with mesh:
+        v, i = jax.jit(fn)(jnp.asarray(wins), jnp.asarray(weights), jnp.asarray(starts))
+    v = np.asarray(v) * scale
+    i = np.asarray(i) * scale
+    return v[:n], i[:n]

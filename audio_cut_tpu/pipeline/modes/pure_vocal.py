@@ -195,6 +195,26 @@ def process_pure_vocal_split(
         rescue_pool = [
             RescueCandidate(t=p.t, score=p.score) for p in refine_result.suppressed_points
         ]
+        # pre-layout segment kinds feed the kind-aware merge costs (reference
+        # classifies before layout: seamless_splitter.py:522 -> :552)
+        pre_samples = sorted({0, len(audio), *(
+            int(round(t * sr)) for t in cut_times if 0 < int(round(t * sr)) < len(audio)
+        )})
+        pre_flags, _ = classify_segments_vocal_presence(
+            vocal, pre_samples, sr, act_rms=bundle.act_rms if bundle else None
+        )
+        segment_kinds = ["human" if f else "music" for f in pre_flags]
+        # ASR priors for rescue-split scoring (reference :547-585 passes the
+        # vpbd_asr word intervals + boundary times into layout)
+        word_intervals = None
+        asr_boundaries = None
+        timeline = getattr(vres, "timeline", None) if vres is not None else None
+        if timeline is not None and getattr(timeline, "words", None):
+            word_intervals = [(w.start_s, w.end_s) for w in timeline.words]
+            asr_boundaries = sorted({
+                *(s.start_s for s in timeline.sentences),
+                *(s.end_s for s in timeline.sentences),
+            })
         lres = refine_layout(
             cut_times,
             duration,
@@ -203,6 +223,9 @@ def process_pure_vocal_split(
             vocal_rms_db=vocal_rms_db,
             beat_times=features.beat_times,
             suppressed=rescue_pool,
+            segment_kinds=segment_kinds,
+            word_intervals=word_intervals,
+            asr_boundaries=asr_boundaries,
         )
         cut_times = lres.cut_times
         layout_applied = True

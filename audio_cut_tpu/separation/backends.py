@@ -130,15 +130,46 @@ class SpectralMaskBackend:
         return v, i
 
 
-def make_backend(name: str, sample_rate: int):
+# backend instances (and their jitted programs) survive across engine/API
+# calls — a fresh instance per call would recompile identical programs
+# (zero-recompile gate in tests/performance). Keyed by name + sample rate +
+# the config values the backend reads, so runtime-config changes rebuild.
+_BACKEND_CACHE: Dict[Tuple, object] = {}
+
+
+def _config_key(name: str) -> Tuple:
     if name == "spectral":
-        return SpectralMaskBackend(sample_rate)
+        cfg = get_config("enhanced_separation.spectral", {}) or {}
+        vs = get_config("vocal_separation", {}) or {}
+        return tuple(sorted((k, str(v)) for k, v in {**cfg, **vs}.items()))
     if name == "convtdf":
+        cfg = get_config("enhanced_separation.convtdf", {}) or {}
+        return tuple(sorted((k, str(v)) for k, v in cfg.items()))
+    if name == "onnx":
+        cfg = get_config("enhanced_separation.onnx", {}) or {}
+        import os
+
+        env = (os.environ.get("AUDIO_CUT_ONNX_MODEL"), os.environ.get("MDX23_MODEL_FILENAME"))
+        return tuple(sorted((k, str(v)) for k, v in cfg.items())) + env
+    return ()
+
+
+def make_backend(name: str, sample_rate: int):
+    key = (name, int(sample_rate), _config_key(name))
+    cached = _BACKEND_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if name == "spectral":
+        backend = SpectralMaskBackend(sample_rate)
+    elif name == "convtdf":
         from audio_cut_tpu.models.convtdf import ConvTDFBackend
 
-        return ConvTDFBackend(sample_rate)
-    if name == "onnx":
+        backend = ConvTDFBackend(sample_rate)
+    elif name == "onnx":
         from audio_cut_tpu.separation.onnx_backend import OnnxSeparatorBackend
 
-        return OnnxSeparatorBackend(sample_rate)
-    raise ValueError(f"unknown separation backend {name!r}")
+        backend = OnnxSeparatorBackend(sample_rate)
+    else:
+        raise ValueError(f"unknown separation backend {name!r}")
+    _BACKEND_CACHE[key] = backend
+    return backend

@@ -219,7 +219,7 @@ class SeparationEngine:
 
         # module-level cache: compiled programs must outlive the engine
         # instance (the API builds a fresh splitter/engine per call)
-        key = (self._backend_name, self.sample_rate, padded_len,
+        key = (self._backend_name, id(self.backend), self.sample_rate, padded_len,
                self.chunk_s, self.overlap_s, self.halo_s, self.align)
         cache = _OLA_PROGRAM_CACHE
         if key in cache:

@@ -84,7 +84,7 @@ def main() -> int:
 
     configure_jax()
     if args.small:
-        sep = ConvTDFSeparator(44100, n_fft=2048, hop=512, dim_f=256, dim_t=64,
+        sep = ConvTDFSeparator(44100, n_fft=512, hop=128, dim_f=128, dim_t=32,
                                channels=8, depth=2, tdf_bottleneck=16)
     else:
         sep = ConvTDFSeparator(44100)
