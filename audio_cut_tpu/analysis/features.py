@@ -30,9 +30,10 @@ _FEATURE_NFFT = 2048
 _RMS_FRAME = 2048
 
 # audio lengths are padded up to a multiple of this many seconds so jit
-# recompiles stay bounded (log-bucketing would be fine too; 30 s linear
-# buckets keep padding waste under ~10% for typical songs)
-_BUCKET_S = 30.0
+# recompiles stay bounded (log-bucketing would be fine too). 15 s matches
+# the separation engine's PAD_BUCKET_S so the OLA output handle feeds the
+# detection bundle without re-padding, and halves padding waste vs 30 s.
+_BUCKET_S = 15.0
 
 
 def pad_to_bucket(x: np.ndarray, sr: int, bucket_s: float = _BUCKET_S) -> np.ndarray:

@@ -82,13 +82,17 @@ def to_mono(audio: np.ndarray) -> np.ndarray:
 
 
 def resample_poly(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
-    """Polyphase resample along the time axis (axis 0)."""
+    """Polyphase resample along the time axis (axis 0).
+
+    float32 end-to-end: the float64 round-trip doubled both memory traffic
+    and filter cost on multi-minute tracks for no audible benefit.
+    """
     if sr_in == sr_out:
         return audio
     g = math.gcd(int(sr_in), int(sr_out))
     up, down = sr_out // g, sr_in // g
-    out = _signal.resample_poly(audio.astype(np.float64), up, down, axis=0)
-    return out.astype(np.float32)
+    out = _signal.resample_poly(np.asarray(audio, dtype=np.float32), up, down, axis=0)
+    return np.asarray(out, dtype=np.float32)
 
 
 def load_audio(

@@ -169,6 +169,11 @@ class ConvVAD:
         return VadResult(out, fps)
 
 
+# checkpoint loading + flax init cost ~0.2 s per construction; a fresh
+# pipeline per API call must reuse the loaded detector
+_VAD_CACHE: dict = {}
+
+
 def default_checkpoint_path() -> Optional[str]:
     import os
 
@@ -193,8 +198,14 @@ def build_vad(sample_rate: int):
     if backend == "conv":
         ckpt = get_config("vad.checkpoint") or default_checkpoint_path()
         if ckpt:
+            key = (int(sample_rate), str(ckpt), threshold)
+            cached = _VAD_CACHE.get(key)
+            if cached is not None:
+                return cached
             try:
-                return ConvVAD(sample_rate, checkpoint=str(ckpt), threshold=threshold)
+                vad = ConvVAD(sample_rate, checkpoint=str(ckpt), threshold=threshold)
+                _VAD_CACHE[key] = vad
+                return vad
             except Exception as exc:
                 logging.getLogger(__name__).warning(
                     "conv VAD checkpoint %s failed to load (%s); using energy gate",

@@ -116,10 +116,12 @@ def separate_track_sp_sharded(
     halo_s = float(get_config("device_pipeline.halo_seconds", 0.5))
     align = int(get_config("device_pipeline.align_hop", 4096))
 
-    # identical padding to SeparationEngine.separate_on_device (30 s bucket,
-    # then align): the chunk schedule — and thus the output — matches the
-    # single-device engine exactly
-    bucket = int(round(30.0 * sr))
+    # identical padding to SeparationEngine.separate_on_device (PAD_BUCKET_S
+    # bucket, then align): the chunk schedule — and thus the output — matches
+    # the single-device engine exactly
+    from audio_cut_tpu.separation.engine import PAD_BUCKET_S
+
+    bucket = int(round(PAD_BUCKET_S * sr))
     padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
     padded_len = ((padded_len + align - 1) // align) * align
     plans, window = chunk_schedule(padded_len, sr, chunk_s, overlap_s, halo_s, align)

@@ -57,7 +57,10 @@ def process_pure_vocal_split(
     duration = len(audio) / float(sr)
 
     # -- separation ---------------------------------------------------------
-    sep = splitter.separator.separate_for_detection(audio)
+    export_flags = splitter._normalize_export_plan(export_plan, default=("mix_segments",))
+    sep = splitter.separator.separate_for_detection(
+        audio, need_instrumental="full_instrumental" in export_flags
+    )
     vocal = sep.vocal_track if sep.vocal_track is not None else audio
     instrumental = sep.instrumental_track
 
@@ -265,7 +268,6 @@ def process_pure_vocal_split(
     flags_out = flags_out or flags
     seg_durations = [len(s) / float(sr) for s in segments]
 
-    export_flags = splitter._normalize_export_plan(export_plan, default=("mix_segments",))
     export_result = ExportResult()
     if "mix_segments" in export_flags:
         export_result.mix_segment_files = splitter.segment_exporter.export_segments(

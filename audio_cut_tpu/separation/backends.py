@@ -30,6 +30,35 @@ from audio_cut_tpu.config import get_config
 from audio_cut_tpu.ops.stft import istft, stft
 
 
+@functools.lru_cache(maxsize=None)
+def _batcher_pairs(n: int) -> Tuple[Tuple[int, int], ...]:
+    """Compare-exchange pairs of Batcher's odd-even mergesort for n lanes."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (p * 2) == (i + j + k) // (p * 2):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return tuple(pairs)
+
+
+def _median_of(parts: list) -> jnp.ndarray:
+    """Exact elementwise median of a list of same-shape arrays via a
+    min/max sorting network — pure VPU elementwise ops instead of XLA's
+    generic sort (measured ~40% of the spectral window cost)."""
+    vals = list(parts)
+    for a, b in _batcher_pairs(len(vals)):
+        lo = jnp.minimum(vals[a], vals[b])
+        hi = jnp.maximum(vals[a], vals[b])
+        vals[a], vals[b] = lo, hi
+    return vals[len(vals) // 2]
+
+
 def _median_filter_axis(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     """Median filter along one axis via stacked shifted slices (edge-padded)."""
     half = size // 2
@@ -41,7 +70,7 @@ def _median_filter_axis(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     for k in range(size):
         idx[axis] = slice(k, k + x.shape[axis])
         stack.append(xp[tuple(idx)])
-    return jnp.median(jnp.stack(stack, axis=0), axis=0)
+    return _median_of(stack)
 
 
 class SpectralMaskBackend:

@@ -27,6 +27,12 @@ logger = logging.getLogger(__name__)
 # instances so repeat API calls never recompile
 _OLA_PROGRAM_CACHE: Dict[Any, Any] = {}
 
+# track-length padding bucket for the whole-track OLA program: bounds the
+# number of distinct compiled lengths. 15 s halves the padding waste of the
+# original 30 s bucket (a 60 s track computed 90 s of windows = +50% device
+# time) at twice the worst-case compile count.
+PAD_BUCKET_S = 15.0
+
 
 @dataclass(frozen=True)
 class ChunkPlan:
@@ -276,7 +282,7 @@ class SeparationEngine:
 
         audio = np.asarray(audio, dtype=np.float32)
         n = audio.shape[-1]
-        bucket = int(round(30.0 * self.sample_rate))
+        bucket = int(round(PAD_BUCKET_S * self.sample_rate))
         padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
         padded_len = ((padded_len + self.align - 1) // self.align) * self.align
         fn, n_chunks = self._device_ola_fn(padded_len)
@@ -305,20 +311,34 @@ class SeparationEngine:
 
     # -- public API (parity: separate_for_detection) -----------------------
 
-    def _separate_once(self, audio: np.ndarray):
+    def _separate_once(self, audio: np.ndarray, need_instrumental: bool = True):
         if hasattr(self.backend, "separate_windows_fn"):
+            import jax.numpy as jnp
+
             vocal_dev, inst_dev, meta = self.separate_on_device(audio)
-            vocal = np.asarray(vocal_dev)
-            inst = np.asarray(inst_dev)
+            if need_instrumental:
+                # one stacked transfer: the tunnel charges a fixed round-trip
+                # per download, so 2 separate pulls cost an extra ~35 ms
+                both = np.asarray(jnp.stack([vocal_dev, inst_dev]))
+                vocal, inst = both[0], both[1]
+            else:
+                # host copy of the instrumental stem is export-only; callers
+                # that don't export it skip a track-length tunnel transfer
+                vocal = np.asarray(vocal_dev)
+                inst = None
         else:
             vocal, inst, meta = self.separate_chunked(audio)
             vocal_dev = inst_dev = None
         return vocal, inst, vocal_dev, inst_dev, meta
 
-    def separate_for_detection(self, audio: np.ndarray) -> SeparationResult:
+    def separate_for_detection(
+        self, audio: np.ndarray, need_instrumental: bool = True
+    ) -> SeparationResult:
         audio = np.asarray(audio, dtype=np.float32)
         try:
-            vocal, inst, vocal_dev, inst_dev, meta = self._separate_once(audio)
+            vocal, inst, vocal_dev, inst_dev, meta = self._separate_once(
+                audio, need_instrumental
+            )
         except Exception as exc:
             if not self.enable_fallback:
                 raise
@@ -332,7 +352,7 @@ class SeparationEngine:
                 )
                 self._backend = None
                 self._backend_name = "spectral"
-                return self.separate_for_detection(audio)
+                return self.separate_for_detection(audio, need_instrumental)
             # the spectral backend itself failed — a device-runtime error
             # (e.g. wedged tunnel mid-transfer) gets one backoff retry and a
             # CPU re-run before we give up (reference ORT session-rebuild
@@ -347,7 +367,7 @@ class SeparationEngine:
                 return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
             try:
                 vocal, inst, vocal_dev, inst_dev, meta = run_with_device_fallback(
-                    lambda: self._separate_once(audio), label="separation"
+                    lambda: self._separate_once(audio, need_instrumental), label="separation"
                 )
             except Exception as exc2:
                 logger.error("separation failed after retries (%s)", exc2)
