@@ -108,16 +108,17 @@ def spectral_stats_interpret(mag: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray
 
 
 def spectral_stats(mag: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas on TPU (opt-in), jnp elsewhere.
+    """Pallas when the probe says the device compiles Mosaic, jnp elsewhere.
 
-    Gated behind AUDIO_CUT_TPU_PALLAS=1: the tunnel-attached dev TPU routes
-    Mosaic kernels through a remote compile helper that has been observed to
-    hang; on directly-attached hardware flip the env var on. The jnp path is
-    numerically identical (tests/unit/test_pallas_kernels.py).
+    The probe (ops/pallas/probe.py) decides once per process: forced by
+    AUDIO_CUT_TPU_PALLAS, ON for directly-attached TPUs that pass a cached
+    subprocess compile check, OFF on relay tunnels whose remote Mosaic
+    compile hangs. The jnp path is numerically identical
+    (tests/unit/test_pallas_kernels.py).
     """
-    import os
+    from audio_cut_tpu.ops.pallas.probe import pallas_supported
 
-    if os.environ.get("AUDIO_CUT_TPU_PALLAS") == "1" and jax.default_backend() == "tpu":
+    if pallas_supported():
         try:
             return spectral_stats_pallas(mag)
         except Exception:  # pragma: no cover - kernel availability varies

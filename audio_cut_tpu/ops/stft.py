@@ -119,13 +119,22 @@ def istft(
     """Inverse STFT with windowed overlap-add and COLA normalization.
 
     ``spec``: complex [..., n_frames, n_fft//2+1] -> real [..., out_length].
+    The window-multiply + OLA runs as a fused Pallas kernel when the device
+    supports Mosaic (ops/pallas/ola.py); the jnp dense-shift path otherwise.
     """
+    from audio_cut_tpu.ops.pallas.ola import windowed_ola
+
     window = hann_window(n_fft, jnp.float32)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32) * window
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32)
 
     n = frames.shape[-2]
     total = (n - 1) * hop + n_fft
-    out = overlap_add(frames, hop)
+    if frames.ndim > 3:
+        lead = frames.shape[:-2]
+        out = windowed_ola(frames.reshape((-1,) + frames.shape[-2:]), window, hop)
+        out = out.reshape(lead + out.shape[-1:])
+    else:
+        out = windowed_ola(frames, window, hop)
     out = out / jnp.asarray(_ola_window_sq(n, n_fft, hop))
 
     if center:

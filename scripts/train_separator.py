@@ -23,6 +23,18 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+# the axon TPU plugin ignores the JAX_PLATFORMS env var (it self-registers at
+# import); honor the operator's choice through the config API
+import os  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax  # noqa: E402
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 
 def iter_batches(data_dir, window, batch, rng):
     from audio_cut_tpu.io.audio import load_audio

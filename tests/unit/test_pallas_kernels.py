@@ -29,3 +29,83 @@ def test_pallas_frame_stats_padding_edges():
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref), rtol=2e-4, atol=2e-5)
     # frame 0 onset must be 0 (fluxes against itself)
     assert float(o_pal[0]) < 1e-6
+
+
+class TestWindowedOlaKernel:
+    """Fused window*frames OLA kernel (ops/pallas/ola.py) — interpreter tier."""
+
+    def _frames(self, n=21, L=512, batch=None, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        shape = (n, L) if batch is None else (batch, n, L)
+        return rng.standard_normal(shape).astype("float32")
+
+    def test_matches_reference_2d(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from audio_cut_tpu.ops.pallas.ola import (
+            windowed_ola_interpret,
+            windowed_ola_reference,
+        )
+        from audio_cut_tpu.ops.stft import hann_window
+
+        L, hop = 512, 128
+        frames = jnp.asarray(self._frames(n=21, L=L))
+        win = hann_window(L)
+        got = np.asarray(windowed_ola_interpret(frames, win, hop))
+        want = np.asarray(windowed_ola_reference(frames, win, hop))
+        assert got.shape == want.shape == (20 * hop + L,)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_matches_reference_batched(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from audio_cut_tpu.ops.pallas.ola import (
+            windowed_ola_interpret,
+            windowed_ola_reference,
+        )
+        from audio_cut_tpu.ops.stft import hann_window
+
+        L, hop = 256, 64
+        frames = jnp.asarray(self._frames(n=13, L=L, batch=3))
+        win = hann_window(L)
+        got = np.asarray(windowed_ola_interpret(frames, win, hop))
+        want = np.asarray(windowed_ola_reference(frames, win, hop))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_istft_roundtrip_unchanged(self):
+        """stft->istft roundtrip stays exact through the new OLA dispatch."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from audio_cut_tpu.ops.stft import istft, stft
+
+        rng = np.random.default_rng(3)
+        # hop-multiple length: centered stft/istft is exact there (the
+        # pipeline always feeds align-padded buckets)
+        x = rng.standard_normal(86 * 512).astype("float32") * 0.3
+        spec = stft(jnp.asarray(x), n_fft=2048, hop=512)
+        back = np.asarray(istft(spec, n_fft=2048, hop=512, length=x.size))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+
+    def test_probe_off_on_cpu(self):
+        from audio_cut_tpu.ops.pallas import probe
+
+        probe._VERDICT = None
+        try:
+            assert probe.pallas_supported() is False  # tests force CPU backend
+        finally:
+            probe._VERDICT = None
+
+    def test_probe_env_force(self, monkeypatch):
+        from audio_cut_tpu.ops.pallas import probe
+
+        monkeypatch.setenv("AUDIO_CUT_TPU_PALLAS", "1")
+        probe._VERDICT = None
+        try:
+            assert probe.pallas_supported() is True
+        finally:
+            probe._VERDICT = None

@@ -107,11 +107,11 @@ class TestEngineRuntimeFallback:
             real = SeparationEngine._separate_once
             calls = {"n": 0}
 
-            def flaky(self, a):
+            def flaky(self, a, need_instrumental=True):
                 calls["n"] += 1
                 if calls["n"] == 1:
                     raise _wedged()
-                return real(self, a)
+                return real(self, a, need_instrumental)
 
             monkeypatch.setattr(SeparationEngine, "_separate_once", flaky)
             res = eng.separate_for_detection(audio)
@@ -133,7 +133,7 @@ class TestEngineRuntimeFallback:
         try:
             eng = SeparationEngine(sr)
 
-            def dead(self, a):
+            def dead(self, a, need_instrumental=True):
                 raise _wedged()
 
             monkeypatch.setattr(SeparationEngine, "_separate_once", dead)
