@@ -230,38 +230,51 @@ class PureVocalPauseDetector:
     ) -> List[PureVocalPause]:
         """Legacy weighted multi-feature confidence.
 
-        Feature semantics preserved from the reference's pyin/LPC mode:
-        f0 evidence = absence of voiced (periodic) energy inside the pause,
-        formant/spectral evidence = how noise-like (flat) the pause is,
-        duration evidence = longer pauses are better cuts. Voicing is read
-        from the autocorrelation of each pause segment (one vectorised pass)
-        instead of per-frame pyin.
+        Feature parity with the reference's pyin/LPC mode (reference
+        pure_vocal_pause_detector.py:410-459, 618-844):
+        f0 evidence = absence of VOICED frames inside the pause (batched YIN
+        with Viterbi pitch tracking, ops/voice.yin_f0), formant evidence =
+        absence of vocal-tract resonance (LPC residual via Levinson-Durbin,
+        ops/voice.lpc_formant_strength), spectral evidence = how noise-like
+        (flat) the pause is, duration evidence = longer pauses cut better.
+        Both device kernels run ONCE over the whole track, not per pause.
         """
         if not pauses:
             return pauses
+        from audio_cut_tpu.ops.voice import (  # noqa: PLC0415 (lazy: legacy mode only)
+            lpc_formant_frequencies,
+            lpc_formant_strength,
+            yin_f0,
+        )
+
         w_f0 = float(cfg.get("f0_weight", 0.3))
         w_formant = float(cfg.get("formant_weight", 0.25))
         w_spectral = float(cfg.get("spectral_weight", 0.25))
         w_duration = float(cfg.get("duration_weight", 0.2))
+        voiced_thr = float(cfg.get("voicing_threshold", 0.55))
         sr = self.sr
+
+        hop_s = self.VALLEY_HOP_S
+        _, voicing = yin_f0(vocal_audio, sr, hop_s=hop_s)
+        formant = lpc_formant_strength(vocal_audio, sr, hop_s=hop_s)
+        vfps = 1.0 / hop_s
 
         out: List[PureVocalPause] = []
         for p in pauses:
             a = max(0, int(p.start_time * sr))
             b = min(vocal_audio.size, int(p.end_time * sr))
-            seg = vocal_audio[a:b]
-            if seg.size < 256:
+            if b - a < 256:
                 out.append(p)
                 continue
-            # voicing: normalized autocorr peak in the 70-400 Hz lag band
-            seg_z = seg - seg.mean()
-            n = min(seg_z.size, 8192)
-            s = seg_z[:n]
-            spec = np.fft.rfft(s, n=2 * n)
-            ac = np.fft.irfft(spec * np.conj(spec))[:n]
-            lag_lo, lag_hi = int(sr / 400), min(int(sr / 70), n - 1)
-            voiced = float(ac[lag_lo:lag_hi].max() / (ac[0] + 1e-12)) if lag_hi > lag_lo else 0.0
-            f0_score = float(np.clip(1.0 - voiced, 0.0, 1.0))
+            fa = int(p.start_time * vfps)
+            fb = int(p.end_time * vfps)
+            v_seg = voicing[fa:min(fb, voicing.size)]
+            f_seg = formant[fa:min(fb, formant.size)]
+            # fraction of pause frames where YIN finds a confident pitch
+            voiced_frac = float(np.mean(v_seg >= voiced_thr)) if v_seg.size else 0.0
+            f0_score = float(np.clip(1.0 - voiced_frac, 0.0, 1.0))
+            # vocal-tract resonance left in the pause
+            formant_score = float(np.clip(1.0 - f_seg.mean(), 0.0, 1.0)) if f_seg.size else 0.5
 
             flat_score = 0.5
             if features is not None and features.flatness.size:
@@ -270,15 +283,23 @@ class PureVocalPauseDetector:
             dur_score = float(np.clip((p.duration - 0.2) / 1.3, 0.0, 1.0))
 
             confidence = float(np.clip(
-                w_f0 * f0_score + w_formant * flat_score + w_spectral * flat_score
+                w_f0 * f0_score + w_formant * formant_score + w_spectral * flat_score
                 + w_duration * dur_score,
                 0.1, 0.99,
             ))
+            feats = {**p.features, "f0_score": f0_score, "formant_score": formant_score,
+                     "flatness_score": flat_score, "duration_score": dur_score}
+            if formant_score < 0.5:
+                # suspicious pause (resonance present): record the resonances
+                # for debugging, as the reference logs formant tracks
+                feats["formant_freqs_hz"] = [
+                    round(float(f), 1)
+                    for f in lpc_formant_frequencies(vocal_audio[a:b], sr)[:4]
+                ]
             out.append(PureVocalPause(
                 start_time=p.start_time, end_time=p.end_time, duration=p.duration,
                 pause_type="multi_feature", confidence=confidence,
-                features={**p.features, "f0_score": f0_score, "flatness_score": flat_score,
-                          "duration_score": dur_score},
+                features=feats,
                 cut_point=p.cut_point, quality_grade=p.quality_grade,
             ))
         return out

@@ -173,20 +173,36 @@ class ConvTDFBackend:
     def __init__(self, sample_rate: int):
         cfg = get_config("enhanced_separation.convtdf", {}) or {}
         self.sample_rate = int(sample_rate)
-        self.sep = ConvTDFSeparator(
-            sample_rate,
-            n_fft=int(cfg.get("n_fft", 6144)),
-            hop=int(cfg.get("hop", 1024)),
-            dim_f=int(cfg.get("dim_f", 2048)),
-            dim_t=int(cfg.get("dim_t", 256)),
-            channels=int(cfg.get("channels", 24)),
-            depth=int(cfg.get("num_blocks", 9)) // 3,
-            tdf_bottleneck=int(cfg.get("tdf_bottleneck", 64)),
-        )
         ckpt = cfg.get("checkpoint")
+        geometry = {
+            "n_fft": int(cfg.get("n_fft", 6144)),
+            "hop": int(cfg.get("hop", 1024)),
+            "dim_f": int(cfg.get("dim_f", 2048)),
+            "dim_t": int(cfg.get("dim_t", 256)),
+            "channels": int(cfg.get("channels", 24)),
+            "depth": int(cfg.get("num_blocks", 9)) // 3,
+            "tdf_bottleneck": int(cfg.get("tdf_bottleneck", 64)),
+        }
+        if ckpt == "packaged":
+            ckpt = packaged_checkpoint_path()
+            if ckpt is None:
+                raise RuntimeError(
+                    "enhanced_separation.convtdf.checkpoint=packaged but no "
+                    "packaged checkpoint ships in this build "
+                    "(models/weights/convtdf_bootstrap_v1.msgpack)"
+                )
+            # the packaged checkpoint pins its own network geometry (sidecar
+            # JSON written by scripts/train_separator.py --bootstrap); window
+            # length (dim_t) stays config-driven — the net is fully
+            # convolutional over T
+            meta = _packaged_geometry(ckpt)
+            for key in ("n_fft", "hop", "dim_f", "channels", "depth", "tdf_bottleneck"):
+                if key in meta:
+                    geometry[key] = int(meta[key])
+        self.sep = ConvTDFSeparator(sample_rate, **geometry)
         onnx_path = cfg.get("onnx_path")
         if ckpt:
-            self.params = load_checkpoint(ckpt)
+            self.params = load_checkpoint(ckpt, template=lambda: self.sep.init_params(jax.random.PRNGKey(0)))
         elif onnx_path:
             raise ValueError(
                 "enhanced_separation.convtdf.onnx_path points at an ONNX model; "
@@ -243,8 +259,42 @@ class ConvTDFBackend:
         return v, i
 
 
-def load_checkpoint(path: str) -> Any:
-    """Load params from an orbax/msgpack checkpoint directory or file."""
+PACKAGED_CHECKPOINT = "convtdf_bootstrap_v1.msgpack"
+
+
+def packaged_checkpoint_path() -> Optional[str]:
+    """Path of the packaged bootstrap checkpoint, if this build ships one."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "weights", PACKAGED_CHECKPOINT)
+    return path if os.path.exists(path) else None
+
+
+def _packaged_geometry(ckpt_path: str) -> Dict[str, Any]:
+    """Geometry sidecar (<ckpt>.json) written next to a msgpack checkpoint."""
+    import json
+    import os
+
+    sidecar = str(ckpt_path) + ".json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    return {}
+
+
+def load_checkpoint(path: str, template=None) -> Any:
+    """Load params from an orbax directory or a single-file flax .msgpack.
+
+    msgpack needs a params pytree template to restore into; pass a zero-arg
+    callable building one (deferred — orbax restores need no template).
+    """
+    if str(path).endswith(".msgpack"):
+        from flax import serialization
+
+        if template is None:
+            raise ValueError("msgpack checkpoints need a params template")
+        with open(path, "rb") as f:
+            return serialization.from_bytes(template(), f.read())
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()

@@ -122,6 +122,14 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()}
 
     def save_checkpoint(self, path: str) -> None:
+        if str(path).endswith(".msgpack"):
+            # single-file flax serialization: portable, git-committable
+            from flax import serialization
+
+            params = jax.device_get(self.params)
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(params))
+            return
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()

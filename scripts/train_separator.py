@@ -79,15 +79,60 @@ def synthetic_batches(window, batch, rng):
         yield vocals + beds, vocals
 
 
+# geometry of the packaged bootstrap checkpoint: the production spectral
+# frame (n_fft 6144 / hop 1024 / dim_f 2048 — what the OLA engine feeds) with
+# a compact net so the committed msgpack stays small (~2.5 MB); dim_t is a
+# TRAINING window length only — the net is fully convolutional over T, so
+# serving uses the config dim_t (default 256)
+BOOTSTRAP_GEOMETRY = dict(
+    n_fft=6144, hop=1024, dim_f=2048, dim_t=64,
+    channels=16, depth=2, tdf_bottleneck=32,
+)
+
+
+def evaluate_si_snr(sep, params, n_pairs: int = 6, seed: int = 1234):
+    """Held-out synthetic eval: SI-SNR (dB) of the ConvTDF vocal estimate vs
+    the model-free spectral-mask backend on the same mixtures."""
+    import jax
+
+    from audio_cut_tpu.separation.backends import SpectralMaskBackend
+    from audio_cut_tpu.training.sep_data import si_snr, synth_pair
+
+    rng = np.random.default_rng(seed)
+    spectral = SpectralMaskBackend(44100)
+    fwd = jax.jit(lambda p, x: sep.separate_fn(p, x, sep.window_samples))
+    conv_scores, spec_scores = [], []
+    for _ in range(n_pairs):
+        mix, vocal = synth_pair(rng, sep.window_samples)
+        v_conv, _ = fwd(params, mix[None])
+        v_spec, _ = spectral.separate_window(np.asarray(mix))
+        conv_scores.append(si_snr(np.asarray(v_conv[0]), vocal))
+        spec_scores.append(si_snr(np.asarray(v_spec)[: vocal.size], vocal))
+    return float(np.mean(conv_scores)), float(np.mean(spec_scores))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="train the packaged bootstrap checkpoint on rich "
+                         "synthetic stems (training/sep_data.py) and save "
+                         "msgpack + geometry sidecar")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--small", action="store_true", help="small geometry for smoke tests")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--eval-pairs", type=int, default=6)
+    ap.add_argument("--max-minutes", type=float, default=0.0,
+                    help="wall-clock budget; exits cleanly (saving the "
+                         "checkpoint) when exceeded. NEVER kill a TPU-attached "
+                         "process externally — it wedges the tunnel.")
+    ap.add_argument("--probe-threshold-s", type=float, default=0.0,
+                    help="if >0: exit rc=3 when the first post-compile step "
+                         "is slower than this (degraded tunnel attach); rerun "
+                         "in a fresh process to draw a new attach")
     args = ap.parse_args()
 
     from audio_cut_tpu.models.convtdf import ConvTDFSeparator
@@ -98,25 +143,61 @@ def main() -> int:
     if args.small:
         sep = ConvTDFSeparator(44100, n_fft=512, hop=128, dim_f=128, dim_t=32,
                                channels=8, depth=2, tdf_bottleneck=16)
+    elif args.bootstrap:
+        sep = ConvTDFSeparator(44100, **BOOTSTRAP_GEOMETRY)
     else:
         sep = ConvTDFSeparator(44100)
     trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
 
     rng = np.random.default_rng(0)
-    if args.synthetic or not args.data_dir:
+    if args.bootstrap:
+        from audio_cut_tpu.training.sep_data import synth_batches as rich_batches
+
+        batches = rich_batches(sep.window_samples, args.batch, rng)
+    elif args.synthetic or not args.data_dir:
         batches = synthetic_batches(sep.window_samples, args.batch, rng)
     else:
         batches = iter_batches(args.data_dir, sep.window_samples, args.batch, rng)
 
+    import time
+
+    t_start = time.time()
+    budget_s = args.max_minutes * 60.0 if args.max_minutes > 0 else float("inf")
     for step in range(1, args.steps + 1):
         mix, vocal = next(batches)
+        t0 = time.time()
         metrics = trainer.train_step(mix, vocal)
-        if step % max(1, args.steps // 20) == 0 or step == 1:
+        step_s = time.time() - t0
+        if step == 1:
+            print(f"step 1 (compile) {step_s:.1f}s  loss {metrics['loss']:.4f}", flush=True)
+        elif step == 2 and args.probe_threshold_s > 0 and step_s > args.probe_threshold_s:
+            print(f"degraded attach: warm step {step_s:.2f}s > "
+                  f"{args.probe_threshold_s}s — rerun in a fresh process", flush=True)
+            return 3
+        elif step % max(1, args.steps // 20) == 0 or step == 2:
             print(f"step {step:6d}  loss {metrics['loss']:.4f}  "
-                  f"spec {metrics['spec_l1']:.4f}  wave {metrics['wave_l1']:.4f}", flush=True)
+                  f"spec {metrics['spec_l1']:.4f}  wave {metrics['wave_l1']:.4f}  "
+                  f"({step_s * 1000:.0f} ms/step)", flush=True)
+        if time.time() - t_start > budget_s:
+            print(f"wall-clock budget reached at step {step}; stopping cleanly", flush=True)
+            break
+
+    if args.bootstrap:
+        conv_db, spec_db = evaluate_si_snr(sep, trainer.params, n_pairs=args.eval_pairs)
+        print(f"held-out SI-SNR: convtdf {conv_db:.2f} dB vs spectral {spec_db:.2f} dB "
+              f"({'BEATS' if conv_db > spec_db else 'BELOW'} the model-free baseline)",
+              flush=True)
 
     if args.checkpoint:
-        trainer.save_checkpoint(str(Path(args.checkpoint).expanduser().resolve()))
+        ckpt_path = Path(args.checkpoint).expanduser().resolve()
+        trainer.save_checkpoint(str(ckpt_path))
+        if args.bootstrap and str(ckpt_path).endswith(".msgpack"):
+            import json
+
+            meta = {k: v for k, v in BOOTSTRAP_GEOMETRY.items() if k != "dim_t"}
+            with open(str(ckpt_path) + ".json", "w") as f:
+                json.dump(meta, f, indent=1)
+            print(f"geometry sidecar saved: {ckpt_path}.json")
         print(f"checkpoint saved: {args.checkpoint}")
         print("activate with runtime override: "
               f"enhanced_separation.backend=convtdf, enhanced_separation.convtdf.checkpoint={args.checkpoint}")
