@@ -140,6 +140,29 @@ def main() -> int:
     from audio_cut_tpu.utils.device import configure_jax
 
     configure_jax()
+
+    if args.probe_threshold_s > 0:
+        # tunnel attach quality is bimodal PER PROCESS (fast vs ~80x
+        # degraded, stable for the process lifetime — see bench.py); probe a
+        # warm dispatched matmul BEFORE paying for the train-step compile,
+        # and let an outer loop retry in a fresh process on a bad draw
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.ones((512, 512))
+        (x @ x).block_until_ready()           # compile + settle
+        t0 = _time.time()
+        for _ in range(3):
+            x = (x @ x) / 512.0
+        x.block_until_ready()
+        probe_s = (_time.time() - t0) / 3.0
+        print(f"attach probe: {probe_s * 1000:.0f} ms/warm-matmul "
+              f"on {jax.devices()[0].platform}", flush=True)
+        if probe_s > args.probe_threshold_s:
+            print("degraded attach — exiting rc=3; rerun in a fresh process", flush=True)
+            return 3
     if args.small:
         sep = ConvTDFSeparator(44100, n_fft=512, hop=128, dim_f=128, dim_t=32,
                                channels=8, depth=2, tdf_bottleneck=16)
@@ -163,6 +186,7 @@ def main() -> int:
 
     t_start = time.time()
     budget_s = args.max_minutes * 60.0 if args.max_minutes > 0 else float("inf")
+    completed = 0
     for step in range(1, args.steps + 1):
         mix, vocal = next(batches)
         t0 = time.time()
@@ -178,9 +202,16 @@ def main() -> int:
             print(f"step {step:6d}  loss {metrics['loss']:.4f}  "
                   f"spec {metrics['spec_l1']:.4f}  wave {metrics['wave_l1']:.4f}  "
                   f"({step_s * 1000:.0f} ms/step)", flush=True)
+        completed = step
         if time.time() - t_start > budget_s:
             print(f"wall-clock budget reached at step {step}; stopping cleanly", flush=True)
             break
+
+    if args.checkpoint and completed < min(50, args.steps):
+        # budget/attach trouble before any real training: writing a
+        # near-random checkpoint would silently poison the packaged weights
+        print(f"only {completed} steps completed — NOT saving {args.checkpoint}", flush=True)
+        return 4
 
     if args.bootstrap:
         conv_db, spec_db = evaluate_si_snr(sep, trainer.params, n_pairs=args.eval_pairs)
