@@ -16,7 +16,7 @@ the reference's "slow path" (refine.py:113-157) is subsumed by the fast one.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -298,6 +298,77 @@ def finalize_cut_points(
     final_points = [CutPoint(t=float(t), score=1.0) for t in kept_times]
     boundaries = sorted({0, mix.size, *(int(round(t * sr)) for t in kept_times)})
     return CutRefineResult(final_points, boundaries, kept_adjustments, suppressed)
+
+
+def restore_guards_outside_words(
+    cut_times: Sequence[float],
+    adjustments: Sequence[CutAdjustment],
+    word_intervals: Sequence[Tuple[float, float]],
+    *,
+    duration_s: float,
+    sr: int,
+    min_gap_s: float,
+) -> Tuple[List[float], Optional[List[CutAdjustment]], int]:
+    """Undo guard moves that push a boundary from outside an ASR word into one.
+
+    Parity: reference seamless_splitter.py:1880-1947
+    (_restore_guard_points_outside_lyrics_words), applied only on vpbd_asr:
+    a quiet-guard shift is meant to land in silence; if it instead lands
+    strictly inside a recognised word while the raw candidate was outside any
+    word, the raw time was the better boundary. Each restore must keep the
+    min-gap invariant against its neighbours; restored adjustments become
+    zero-shift entries so guard statistics stay honest.
+
+    Returns (times, adjustments-or-None-when-unchanged, restored_count).
+    """
+    times = sorted(float(t) for t in cut_times)
+    if not times or not adjustments or not word_intervals:
+        return times, None, 0
+
+    intervals = sorted((float(a), float(b)) for a, b in word_intervals)
+    starts = np.asarray([a for a, _ in intervals])
+    ends = np.asarray([b for _, b in intervals])
+
+    def _inside(t: float) -> bool:
+        i = int(np.searchsorted(starts, t, side="right")) - 1
+        return i >= 0 and starts[i] < t < ends[i]
+
+    def _key(t: float) -> int:
+        return int(round(t * sr))
+
+    points = sorted({_key(t) for t in times if 0 < _key(t) < _key(duration_s)})
+    min_gap = max(0, int(round(min_gap_s * sr)))
+    restored_raw: set = set()
+
+    for adj in adjustments:
+        raw_t, final_t = float(adj.raw_time), float(adj.final_time)
+        if not _inside(final_t) or _inside(raw_t):
+            continue
+        raw_sample, final_sample = _key(raw_t), _key(final_t)
+        if final_sample not in points or raw_sample in (0, _key(duration_s)):
+            continue
+        candidate = sorted(raw_sample if p == final_sample else p for p in points)
+        idx = candidate.index(raw_sample)
+        left_ok = idx == 0 or candidate[idx] - candidate[idx - 1] >= min_gap
+        right_ok = idx == len(candidate) - 1 or candidate[idx + 1] - candidate[idx] >= min_gap
+        if not (left_ok and right_ok):
+            continue
+        points = candidate
+        restored_raw.add(raw_t)
+
+    if not restored_raw:
+        return times, None, 0
+
+    new_adjustments = [
+        CutAdjustment(
+            raw_time=a.raw_time, guard_time=a.raw_time, final_time=a.raw_time,
+            score=a.score, guard_shift_ms=0.0, final_shift_ms=0.0,
+        )
+        if float(a.raw_time) in restored_raw
+        else a
+        for a in adjustments
+    ]
+    return [p / float(sr) for p in points], new_adjustments, len(restored_raw)
 
 
 def guard_shift_stats(adjustments: Sequence[CutAdjustment]) -> Dict[str, float]:

@@ -176,6 +176,25 @@ def process_pure_vocal_split(
     cut_times = [p.t for p in refine_result.final_points]
     suppressed_sec = [p.t for p in refine_result.suppressed_points]
 
+    # vpbd_asr: undo guard moves that landed inside a recognised ASR word
+    # (reference seamless_splitter.py:484-493 -> :1880-1947)
+    if mode == "vpbd_asr" and vres is not None:
+        timeline_w = getattr(vres, "timeline", None)
+        if timeline_w is not None and getattr(timeline_w, "words", None):
+            from audio_cut_tpu.cutting.refine import restore_guards_outside_words
+
+            cut_times, restored_adj, n_restored = restore_guards_outside_words(
+                cut_times,
+                refine_result.adjustments,
+                [(w.start_s, w.end_s) for w in timeline_w.words],
+                duration_s=duration,
+                sr=sr,
+                min_gap_s=float(qc.get("min_split_gap", 1.2)),
+            )
+            if restored_adj is not None:
+                refine_result.adjustments = restored_adj
+                logger.info("guard restore outside ASR words: %d boundaries", n_restored)
+
     if vres is not None and boundary_detection is not None:
         from audio_cut_tpu.cutting.planner import apply_guard_shift_metadata
 

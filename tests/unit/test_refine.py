@@ -96,3 +96,59 @@ def test_guard_shift_stats():
     assert stats["count"] == 2
     assert abs(stats["avg_ms"] - 55.0) < 1e-9
     assert stats["max_ms"] == 100.0
+
+
+# -- guard restore outside ASR words (reference seamless_splitter.py:1880-1947) --
+
+
+def _adj(raw, final):
+    from audio_cut_tpu.cutting.refine import CutAdjustment
+
+    return CutAdjustment(raw, final, final, 1.0,
+                         (final - raw) * 1000.0, (final - raw) * 1000.0)
+
+
+def test_restore_guard_moved_into_word():
+    from audio_cut_tpu.cutting.refine import restore_guards_outside_words
+
+    # raw 4.0 (outside words), guard pushed it to 4.5 (inside word 4.3-4.8)
+    times, adjs, n = restore_guards_outside_words(
+        [4.5, 9.0], [_adj(4.0, 4.5), _adj(9.0, 9.0)],
+        [(4.3, 4.8)], duration_s=20.0, sr=44100, min_gap_s=1.0,
+    )
+    assert n == 1
+    assert abs(times[0] - 4.0) < 1e-9 and abs(times[1] - 9.0) < 1e-9
+    assert adjs is not None
+    assert adjs[0].final_time == 4.0 and adjs[0].final_shift_ms == 0.0
+    assert adjs[1].final_time == 9.0
+
+
+def test_no_restore_when_raw_also_inside_word():
+    from audio_cut_tpu.cutting.refine import restore_guards_outside_words
+
+    times, adjs, n = restore_guards_outside_words(
+        [4.5], [_adj(4.4, 4.5)], [(4.3, 4.8)],
+        duration_s=20.0, sr=44100, min_gap_s=1.0,
+    )
+    assert n == 0 and adjs is None and abs(times[0] - 4.5) < 1e-9
+
+
+def test_no_restore_when_min_gap_violated():
+    from audio_cut_tpu.cutting.refine import restore_guards_outside_words
+
+    # restoring 4.5 -> 4.0 would leave only 0.3 s to the neighbour at 3.7
+    times, adjs, n = restore_guards_outside_words(
+        [3.7, 4.5], [_adj(4.0, 4.5)], [(4.3, 4.8)],
+        duration_s=20.0, sr=44100, min_gap_s=1.0,
+    )
+    assert n == 0 and adjs is None
+    assert [round(t, 3) for t in times] == [3.7, 4.5]
+
+
+def test_restore_noop_without_words():
+    from audio_cut_tpu.cutting.refine import restore_guards_outside_words
+
+    times, adjs, n = restore_guards_outside_words(
+        [4.5], [_adj(4.0, 4.5)], [], duration_s=20.0, sr=44100, min_gap_s=1.0,
+    )
+    assert n == 0 and adjs is None and times == [4.5]
