@@ -259,11 +259,16 @@ def finalize_cut_points(
     raw_times = np.asarray([p.t for p in pruned], dtype=np.float64)
     scores = np.asarray([p.score for p in pruned], dtype=np.float64)
 
-    # stage 1: vocal zero-cross + vocal quiet guard
+    # stage 1: vocal zero-cross + vocal quiet guard. The quiet guard only
+    # needs the precomputed dB lookup, so it runs even without a host vocal
+    # waveform (wave-free bundle path); the vocal zero-cross align is a
+    # sub-ms adjustment that the mix-stage zero-cross supersedes anyway.
     guard_times = raw_times.copy()
-    if use_vocal_guard_first and vocal is not None and vocal.size:
-        guard_times = align_to_zero_cross_many(vocal, sr, guard_times, zero_cross_win_ms)
-        if enable_vocal_guard:
+    if use_vocal_guard_first:
+        has_wave = vocal is not None and vocal.size
+        if has_wave:
+            guard_times = align_to_zero_cross_many(vocal, sr, guard_times, zero_cross_win_ms)
+        if enable_vocal_guard and (vocal_lookup is not None or has_wave):
             vlook = vocal_lookup or QuietLookup(vocal, sr, guard_win_ms, floor_db, floor_percentile)
             guard_times = vlook.guard_right(guard_times, search_right_ms, guard_db)
 

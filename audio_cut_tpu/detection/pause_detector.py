@@ -103,20 +103,28 @@ class PureVocalPauseDetector:
 
     def detect_pure_vocal_pauses(
         self,
-        vocal_audio: np.ndarray,
+        vocal_audio: Optional[np.ndarray],
         features: Optional[TrackFeatures] = None,
         focus_windows: Optional[List[Tuple[float, float]]] = None,
         enable_mdd: bool = True,
         rms_env: Optional[np.ndarray] = None,
         env_db_grid: Optional[np.ndarray] = None,
         env_db_stride: int = 1,
+        n_samples: Optional[int] = None,
     ) -> List[PureVocalPause]:
         """``rms_env`` (10 ms grid) and ``env_db_grid`` (decimated fine dB)
         may be supplied by the fused DetectionBundle to avoid re-running
-        the envelope kernels."""
+        the envelope kernels. With both supplied, ``vocal_audio`` may be
+        None (pass ``n_samples``): the whole detector then runs from
+        device-computed envelopes without a host waveform copy."""
         cfg = get_config("v2_mdd.pure_vocal_detection", {}) or {}
-        if not cfg.get("enable", True) or vocal_audio is None or vocal_audio.size == 0:
+        n_wave = int(n_samples) if n_samples is not None else (
+            vocal_audio.size if vocal_audio is not None else 0
+        )
+        if not cfg.get("enable", True) or n_wave == 0:
             return []
+        if vocal_audio is None and (rms_env is None or env_db_grid is None):
+            raise ValueError("vocal_audio=None requires rms_env and env_db_grid")
 
         stats = AdaptStats(
             bpm=features.bpm if features else None,
@@ -145,6 +153,11 @@ class PureVocalPauseDetector:
         rms_ratio = float(np.clip(thresholds.rms_ratio * vpp_mult, peak_ratio + 0.02, 0.72))
 
         pauses = self._detect_energy_valleys(rms, fps, peak_ratio, rms_ratio, cfg, features, focus_windows)
+        if not cfg.get("enable_relative_energy_mode", True) and vocal_audio is None:
+            raise ValueError(
+                "legacy multi-feature mode (enable_relative_energy_mode=false) "
+                "needs the vocal waveform; pass vocal_audio"
+            )
         if not cfg.get("enable_relative_energy_mode", True):
             # legacy multi-feature mode: rescore valleys by voicing/formant/
             # spectral/duration evidence (reference pure_vocal_pause_detector
@@ -153,11 +166,12 @@ class PureVocalPauseDetector:
             # the spectral flatness + band statistics already in features)
             pauses = self._apply_multi_feature_scoring(pauses, vocal_audio, cfg, features)
         pauses = self._compress(pauses, cfg)
-        pauses = self._total_valley_cap(pauses, vocal_audio.size / self.sr)
+        pauses = self._total_valley_cap(pauses, n_wave / self.sr)
         if enable_mdd and features is not None:
             pauses = self._apply_mdd_enhancement(pauses, features, focus_windows)
         pauses = self._calculate_precise_cut_points(
-            pauses, vocal_audio, env_db_grid=env_db_grid, env_db_stride=env_db_stride
+            pauses, vocal_audio, env_db_grid=env_db_grid, env_db_stride=env_db_stride,
+            n_samples=n_wave,
         )
         # final min-pause filter at the configured duration
         min_pause = resolve_min_pause(
@@ -415,11 +429,17 @@ class PureVocalPauseDetector:
     def _calculate_precise_cut_points(
         self,
         pauses: List[PureVocalPause],
-        vocal_audio: np.ndarray,
+        vocal_audio: Optional[np.ndarray],
         env_db_grid: Optional[np.ndarray] = None,
         env_db_stride: int = 1,
+        n_samples: Optional[int] = None,
     ) -> List[PureVocalPause]:
-        if not pauses or vocal_audio is None or vocal_audio.size == 0:
+        n_wave = int(n_samples) if n_samples is not None else (
+            vocal_audio.size if vocal_audio is not None else 0
+        )
+        if not pauses or n_wave == 0:
+            return pauses
+        if vocal_audio is None and env_db_grid is None:
             return pauses
         sr = self.sr
         local_ms = float(get_config("vocal_pause_splitting.local_rms_window_ms", 25))
@@ -443,8 +463,9 @@ class PureVocalPauseDetector:
         # seconds, so full-rate percentiles cost ~0.25 s per track while the
         # decimated distribution is statistically identical for a floor
         dec = 8
-        abs_dec = np.abs(vocal_audio[::dec])
+        abs_dec = np.abs(vocal_audio[::dec]) if vocal_audio is not None else None
         n_grid = env_db.size
+        floor_allow_db = 20.0 * np.log10(max(float(floor_allow), 1e-6))
 
         for p in pauses:
             a = max(0, int(round(p.start_time * grid_sr)))
@@ -456,14 +477,23 @@ class PureVocalPauseDetector:
                 g_end = min(n_grid, cut + guard)
                 if g_end > cut:
                     cut = cut + int(np.argmin(env_db[cut:g_end]))
-            cut_sample = min(vocal_audio.size - 1, cut * stride)
-            da = max(0, int(round(p.start_time * sr / dec)))
-            db_ = min(abs_dec.size, int(round(p.end_time * sr / dec)))
-            floor_val = float(np.percentile(abs_dec[da:db_], floor_pct)) if db_ > da else 0.0
-            fallback = floor_val > 0.0 and abs(float(vocal_audio[cut_sample])) > floor_val * floor_allow
+            cut_sample = min(n_wave - 1, cut * stride)
+            if abs_dec is not None:
+                da = max(0, int(round(p.start_time * sr / dec)))
+                db_ = min(abs_dec.size, int(round(p.end_time * sr / dec)))
+                floor_val = float(np.percentile(abs_dec[da:db_], floor_pct)) if db_ > da else 0.0
+                fallback = floor_val > 0.0 and abs(float(vocal_audio[cut_sample])) > floor_val * floor_allow
+            else:
+                # waveform-free path: the same silence-floor check in the dB
+                # domain over the decimated envelope — "is the chosen cut
+                # quiet relative to this pause's own noise floor" — using the
+                # short-window RMS at the cut instead of the instantaneous
+                # sample (more robust near zero crossings of loud regions)
+                floor_db = float(np.percentile(env_db[a:b], floor_pct))
+                fallback = float(env_db[cut]) > floor_db + floor_allow_db
             if fallback:
                 sa = max(0, int(round(p.start_time * sr)))
-                sb = min(vocal_audio.size, int(round(p.end_time * sr)))
+                sb = min(n_wave, int(round(p.end_time * sr)))
                 cut_sample = sa + (sb - sa) // 2
             p.cut_point = cut_sample / float(sr)
             p.quality_grade = "B" if fallback else "A"

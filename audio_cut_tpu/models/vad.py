@@ -145,13 +145,38 @@ class ConvVAD:
         probs = probs_w[:, hf:hf + interior // FRAME].reshape(-1)
         return probs[:true_frames], VAD_SR / FRAME
 
-    def detect(self, audio: np.ndarray, min_speech_s: float = 0.1,
-               min_silence_s: float = 0.15, rms_env: Optional[np.ndarray] = None):
+    def speech_probs_from_device(self, audio_dev, n_true: int) -> Tuple[np.ndarray, float]:
+        """Like speech_probs, but over a DEVICE waveform handle: resample +
+        forward fused in one program, only the (tiny) frame probabilities
+        cross the tunnel. Input is padded to a 15 s bucket on device so the
+        compiled-program count stays bounded across track lengths."""
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        n = int(audio_dev.shape[-1])
+        bucket = 15 * self.native_sr
+        in_len = max(bucket, -(-n // bucket) * bucket)
+        if in_len != n:
+            audio_dev = jnp.pad(audio_dev, (0, in_len - n))
+        fwd = _jitted_device_probs(self.net.channels, self.net.depth, self.native_sr, in_len)
+        probs = np.asarray(fwd(self.params, audio_dev))
+        true_frames = int(n_true * VAD_SR / self.native_sr) // FRAME
+        return probs[:true_frames], VAD_SR / FRAME
+
+    def detect(self, audio: Optional[np.ndarray], min_speech_s: float = 0.1,
+               min_silence_s: float = 0.15, rms_env: Optional[np.ndarray] = None,
+               audio_dev=None, n_true: Optional[int] = None):
         """Speech segments in native-SR seconds (rms_env accepted for seam
-        compatibility with EnergyGateDetector; unused)."""
+        compatibility with EnergyGateDetector; unused). Pass ``audio_dev`` (+
+        ``n_true``) to run from a device-resident waveform without a host
+        copy."""
         from audio_cut_tpu.detection.vad import VadResult
 
-        probs, fps = self.speech_probs(audio)
+        if audio_dev is not None:
+            probs, fps = self.speech_probs_from_device(
+                audio_dev, int(n_true if n_true is not None else audio_dev.shape[-1])
+            )
+        else:
+            probs, fps = self.speech_probs(audio)
         mask = probs > self.threshold
         # close short gaps, drop short bursts
         min_sil = max(1, int(round(min_silence_s * fps)))
@@ -167,6 +192,67 @@ class ConvVAD:
             if e - s >= min_sp:
                 out.append((s / fps, e / fps))
         return VadResult(out, fps)
+
+
+@functools.lru_cache(maxsize=8)
+def _lowpass_taps(sr_in: int, n_taps: int = 127, cutoff_hz: float = 7500.0) -> np.ndarray:
+    """Windowed-sinc anti-alias FIR for the device resampler."""
+    m = np.arange(n_taps) - (n_taps - 1) / 2.0
+    h = 2.0 * cutoff_hz / sr_in * np.sinc(2.0 * cutoff_hz / sr_in * m)
+    h *= np.hamming(n_taps)
+    return (h / h.sum()).astype(np.float32)
+
+
+_DEV_PROBS_CACHE: dict = {}
+
+
+def _jitted_device_probs(channels: int, depth: int, sr_in: int, in_len: int):
+    """One fused device program: anti-aliased linear resample of a DEVICE
+    waveform to 16 kHz -> overlapped fixed windows -> conv forward -> frame
+    probabilities. Replaces the host scipy polyphase + re-upload path so the
+    vocal stem never leaves HBM (the full-track download over the tunnel
+    costs more than the whole VAD compute).
+
+    Keyed by (arch, sr, padded input length): track lengths are bucket-padded
+    by the separation engine, so compiles stay bounded.
+    """
+    key = (channels, depth, sr_in, in_len)
+    if key in _DEV_PROBS_CACHE:
+        return _DEV_PROBS_CACHE[key]
+
+    net = ConvVADNet(channels=channels, depth=depth)
+    taps = jnp.asarray(_lowpass_taps(sr_in))
+    out_len = int(round(in_len * VAD_SR / sr_in))
+    halo = int(HALO_S * VAD_SR) // FRAME * FRAME
+    interior = int(WINDOW_S * VAD_SR) // FRAME * FRAME
+    window = interior + 2 * halo
+    n_windows = max(1, -(-out_len // interior))
+    n_pad = 1
+    while n_pad < n_windows:
+        n_pad *= 2
+
+    ratio = sr_in / float(VAD_SR)
+    pos = np.arange(out_len, dtype=np.float64) * ratio
+    i0 = np.minimum(pos.astype(np.int64), in_len - 2)
+    frac = (pos - i0).astype(np.float32)
+    i0 = jnp.asarray(i0, jnp.int32)
+    frac_j = jnp.asarray(frac)
+
+    def fwd(params, x):
+        x_lp = jnp.convolve(x, taps, mode="same")
+        x16 = x_lp[i0] * (1.0 - frac_j) + x_lp[i0 + 1] * frac_j
+        padded = jnp.pad(x16, (halo, n_pad * interior + halo - out_len))
+        windows = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(padded, k * interior, window)
+            for k in range(n_pad)
+        ])
+        logits = net.apply({"params": params}, windows)
+        probs = jax.nn.sigmoid(logits)
+        hf = halo // FRAME
+        return probs[:, hf:hf + interior // FRAME].reshape(-1)
+
+    _DEV_PROBS_CACHE[key] = jax.jit(fwd)
+    return _DEV_PROBS_CACHE[key]
 
 
 # checkpoint loading + flax init cost ~0.2 s per construction; a fresh

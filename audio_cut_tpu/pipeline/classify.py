@@ -25,11 +25,19 @@ def classify_segments_vocal_presence(
     cut_samples: Sequence[int],
     sr: int,
     act_rms: Optional[np.ndarray] = None,
+    n_samples: Optional[int] = None,
 ) -> Tuple[List[bool], List[Dict[str, Any]]]:
+    """With ``act_rms`` supplied (fused DetectionBundle), ``vocal_audio`` may
+    be None + ``n_samples`` set: classification then runs entirely from the
+    device-computed activity envelope."""
     n_seg = max(len(cut_samples) - 1, 0)
     if n_seg == 0:
         return [], []
-    if sr <= 0 or vocal_audio is None or vocal_audio.size == 0:
+    n_wave = int(n_samples) if n_samples is not None else (
+        vocal_audio.size if vocal_audio is not None else 0
+    )
+    wave_free = vocal_audio is None and act_rms is not None and n_wave > 0
+    if sr <= 0 or (n_wave == 0) or (vocal_audio is None and not wave_free):
         return [True] * n_seg, [
             {"index": i, "reason": "fallback_invalid_input", "decision": True}
             for i in range(n_seg)
@@ -51,8 +59,8 @@ def classify_segments_vocal_presence(
     flags: List[bool] = []
     debug: List[Dict[str, Any]] = []
     for i in range(n_seg):
-        a = int(np.clip(cut_samples[i], 0, vocal_audio.size))
-        b = int(np.clip(cut_samples[i + 1], a, vocal_audio.size))
+        a = int(np.clip(cut_samples[i], 0, n_wave))
+        b = int(np.clip(cut_samples[i + 1], a, n_wave))
         fa = int(a / hop)
         fb = max(fa + 1, int(b / hop))
         window = active[fa:min(fb, active.size)]
@@ -60,7 +68,14 @@ def classify_segments_vocal_presence(
 
         ratio = float(window.mean()) if window.size else 0.0
         seconds = min(seg_dur, float(window.sum()) / fps) if window.size else 0.0
-        seg_db = float(20.0 * np.log10(np.sqrt(np.mean(np.square(vocal_audio[a:b])) + 1e-12))) if b > a else None
+        if b <= a:
+            seg_db = None
+        elif vocal_audio is not None:
+            seg_db = float(20.0 * np.log10(np.sqrt(np.mean(np.square(vocal_audio[a:b])) + 1e-12)))
+        else:
+            # envelope-derived segment level (debug field only)
+            seg_rms = rms[fa:min(fb, rms.size)]
+            seg_db = float(20.0 * np.log10(np.sqrt(np.mean(np.square(seg_rms)) + 1e-24))) if seg_rms.size else None
         decision = ratio >= ratio_thr
         reason = (
             "vocal_activity_ratio_gte_threshold" if decision else "vocal_activity_ratio_lt_threshold"
@@ -85,7 +100,7 @@ def classify_segments_vocal_presence(
 
 
 def pure_music_spans(
-    vocal_audio: np.ndarray,
+    vocal_audio: Optional[np.ndarray],
     sr: int,
     min_duration_s: Optional[float] = None,
     threshold_db: Optional[float] = None,
@@ -94,9 +109,10 @@ def pure_music_spans(
     """Long vocal-inactive spans (intros/interludes/outros).
 
     Parity: reference vocal_separator.py:460-529 vocal-presence markers +
-    seamless_splitter.py:1706-1790 pure-music span injection.
+    seamless_splitter.py:1706-1790 pure-music span injection. With
+    ``act_rms`` supplied, ``vocal_audio`` may be None (wave-free path).
     """
-    if vocal_audio is None or vocal_audio.size == 0:
+    if (vocal_audio is None or vocal_audio.size == 0) and act_rms is None:
         return []
     if min_duration_s is None:
         min_duration_s = float(get_config("v2_mdd.quality_control.pure_music_min_duration", 6.0))

@@ -61,23 +61,39 @@ def process_pure_vocal_split(
     sep = splitter.separator.separate_for_detection(
         audio, need_instrumental="full_instrumental" in export_flags
     )
-    vocal = sep.vocal_track if sep.vocal_track is not None else audio
-    instrumental = sep.instrumental_track
+    vocal_dev = getattr(sep, "vocal_device", None)
+
+    def vocal_host() -> np.ndarray:
+        """Host copy of the vocal stem — LAZY. The default path runs from
+        device-resident envelopes; only consumers that genuinely need the
+        waveform (legacy detector mode, vocal export, ASR copies, fallback
+        kernels) trigger the tunnel download, once."""
+        return sep.vocal_track if sep.has_vocal else audio
 
     # -- shared features: ONE fused device program over (mix, vocal) ---------
     qc = get_config("v2_mdd.quality_control", {}) or {}
     eqc = qc.get("enforce_quiet_cut", {}) or {}
     lbr = qc.get("local_boundary_refine", {}) or {}
-    bundle = _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr)
+    bundle = _build_bundle(splitter, audio, vocal_host, sep, sr, eqc, lbr)
     features = bundle.features if bundle is not None else _features_fallback(audio, sr)
 
     # -- VAD focus windows ----------------------------------------------------
     # learned ConvVAD when a checkpoint is available, energy gate otherwise
     # (parity: reference Silero-first chain, vocal_pause_detector.py:74-123)
-    from audio_cut_tpu.models.vad import build_vad
+    from audio_cut_tpu.models.vad import ConvVAD, build_vad
 
     vad_detector = build_vad(sr)
-    vad = vad_detector.detect(vocal, rms_env=bundle.vocal_rms_fine if bundle else None)
+    vad = None
+    if isinstance(vad_detector, ConvVAD) and vocal_dev is not None:
+        # fused device path: stem never leaves HBM, only frame probs download
+        try:
+            vad = vad_detector.detect(None, audio_dev=vocal_dev, n_true=len(audio))
+        except Exception as exc:
+            logger.warning("device VAD failed (%s); using host waveform path", exc)
+    if vad is None:
+        vad = vad_detector.detect(
+            vocal_host(), rms_env=bundle.vocal_rms_fine if bundle else None
+        )
     vad_backend = "conv" if not isinstance(vad_detector, EnergyGateDetector) else "energy_gate"
     acfg = get_config("v2_mdd.advanced_vad", {}) or {}
     focus = to_focus_windows(
@@ -106,7 +122,7 @@ def process_pure_vocal_split(
         detector = VocalPhraseBoundaryDetector(sr)
         vres = detector.detect(
             mode=mode,
-            vocal_audio=vocal,
+            vocal_audio=vocal_host(),
             features=features,
             focus_windows=focus,
             duration_s=duration,
@@ -121,11 +137,19 @@ def process_pure_vocal_split(
         note = vres.note
     else:
         detector = PureVocalPauseDetector(sr)
+        # wave-free when the bundle's envelopes cover the default
+        # relative-energy mode; the legacy multi-feature mode needs samples
+        pv_cfg = get_config("v2_mdd.pure_vocal_detection", {}) or {}
+        wave_free = bundle is not None and bool(
+            pv_cfg.get("enable_relative_energy_mode", True)
+        )
         pauses = detector.detect_pure_vocal_pauses(
-            vocal, features=features, focus_windows=focus, enable_mdd=True,
+            None if wave_free else vocal_host(),
+            features=features, focus_windows=focus, enable_mdd=True,
             rms_env=bundle.vocal_rms_fine if bundle else None,
             env_db_grid=bundle.vocal_db_fine if bundle else None,
             env_db_stride=bundle.db_stride if bundle else 1,
+            n_samples=len(audio),
         )
         raw_points = [
             CutPoint(p.cut_point if p.cut_point > 0 else (p.start_time + p.end_time) / 2.0,
@@ -135,7 +159,8 @@ def process_pure_vocal_split(
 
     # pure-music span boundaries as extra candidates (intro/interlude/outro)
     for span_start, span_end in pure_music_spans(
-        vocal, sr, act_rms=bundle.act_rms if bundle else None
+        None if bundle is not None else vocal_host(),
+        sr, act_rms=bundle.act_rms if bundle else None
     ):
         for t in (span_start, span_end):
             if 0.5 < t < duration - 0.5:
@@ -157,7 +182,10 @@ def process_pure_vocal_split(
             floor_db=eqc.get("floor_db_override"), floor_percentile=floor_pct,
         )
     refine_result = finalize_cut_points(
-        CutContext(sr=sr, mix_wave=audio, vocal_wave=vocal),
+        # wave-free: the vocal quiet guard runs from the bundle's dB lookup;
+        # zero-cross snap happens on the mix (the host input) either way
+        CutContext(sr=sr, mix_wave=audio,
+                   vocal_wave=None if bundle is not None else vocal_host()),
         raw_points,
         min_gap_s=float(qc.get("min_split_gap", 1.2)),
         max_keep=int(vcfg.get("max_kept_after_nms", 200)) or None,
@@ -212,7 +240,7 @@ def process_pure_vocal_split(
             import jax.numpy as jnp  # noqa: PLC0415
 
             hop = max(1, int(round(features.hop_s * sr)))
-            vocal_rms = np.asarray(_frame_rms(jnp.asarray(vocal, dtype=jnp.float32), 2048, hop))
+            vocal_rms = np.asarray(_frame_rms(jnp.asarray(vocal_host(), dtype=jnp.float32), 2048, hop))
         vocal_rms_db = 20.0 * np.log10(vocal_rms + 1e-12)
         rescue_pool = [
             RescueCandidate(t=p.t, score=p.score) for p in refine_result.suppressed_points
@@ -223,7 +251,8 @@ def process_pure_vocal_split(
             int(round(t * sr)) for t in cut_times if 0 < int(round(t * sr)) < len(audio)
         )})
         pre_flags, _ = classify_segments_vocal_presence(
-            vocal, pre_samples, sr, act_rms=bundle.act_rms if bundle else None
+            None if bundle is not None else vocal_host(), pre_samples, sr,
+            act_rms=bundle.act_rms if bundle else None, n_samples=len(audio),
         )
         segment_kinds = ["human" if f else "music" for f in pre_flags]
         # ASR priors for rescue-split scoring (reference :547-585 passes the
@@ -268,7 +297,8 @@ def process_pure_vocal_split(
         int(round(t * sr)) for t in cut_times if 0 < int(round(t * sr)) < len(audio)
     )})
     flags, debug = classify_segments_vocal_presence(
-        vocal, cut_samples, sr, act_rms=bundle.act_rms if bundle else None
+        None if bundle is not None else vocal_host(), cut_samples, sr,
+        act_rms=bundle.act_rms if bundle else None, n_samples=len(audio),
     )
     cut_samples, flags, debug = merge_weak_human_tails(list(cut_samples), flags, debug, sr)
 
@@ -316,7 +346,8 @@ def process_pure_vocal_split(
             export_options=splitter._export_options,
         )
         export_result.saved_files.append(export_result.full_vocal_file)
-    if "full_instrumental" in export_flags and instrumental is not None:
+    if "full_instrumental" in export_flags and sep.instrumental_track is not None:
+        instrumental = sep.instrumental_track
         dur = len(instrumental) / float(sr)
         export_result.full_instrumental_file = splitter.segment_exporter.export_full_track(
             instrumental,
@@ -431,7 +462,7 @@ def _features_fallback(audio: np.ndarray, sr: int):
     )
 
 
-def _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr):
+def _build_bundle(splitter, audio, vocal_supplier, sep, sr, eqc, lbr):
     """Fused detection-envelope pass (see analysis/bundle.py).
 
     Failure handling (reference analog: ORT CUDA session failure -> CPU
@@ -453,7 +484,7 @@ def _build_bundle(splitter, audio, vocal, sep, sr, eqc, lbr):
         mix_dev = getattr(sep, "mix_device", None) if use_sep_handles else None
         vocal_dev = getattr(sep, "vocal_device", None) if use_sep_handles else None
         if vocal_dev is None:
-            vocal_dev = jnp.asarray(pad_to_bucket(vocal, sr))
+            vocal_dev = jnp.asarray(pad_to_bucket(vocal_supplier(), sr))
         if mix_dev is None:
             mix_dev = jnp.asarray(pad_to_bucket(audio, sr))
         # both operands must share the padded length

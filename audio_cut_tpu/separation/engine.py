@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -93,17 +93,62 @@ def chunk_schedule(
     return plans, window
 
 
-@dataclass
 class SeparationResult:
-    """Parity: reference enhanced_vocal_separator.py:45-58."""
+    """Parity: reference enhanced_vocal_separator.py:45-58.
 
-    vocal_track: Optional[np.ndarray]
-    instrumental_track: Optional[np.ndarray]
-    backend_used: str
-    separation_confidence: float
-    feature_cache: Optional[Any] = None
-    vad_segments: Optional[List[Tuple[float, float]]] = None
-    device_meta: Dict[str, Any] = field(default_factory=dict)
+    TPU addition: host stem copies are LAZY. The stems live in HBM
+    (`vocal_device` / `instrumental_device`); `.vocal_track` /
+    `.instrumental_track` download on first access and cache. Over the
+    tunnel a full-track download costs more than the whole device compute,
+    and the default detection path runs entirely from device-resident
+    envelopes — consumers that never touch the host stems never pay.
+    """
+
+    def __init__(
+        self,
+        vocal_track: Optional[np.ndarray],
+        instrumental_track: Optional[np.ndarray],
+        backend_used: str,
+        separation_confidence: float,
+        feature_cache: Optional[Any] = None,
+        vad_segments: Optional[List[Tuple[float, float]]] = None,
+        device_meta: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        self._vocal_host = vocal_track
+        self._inst_host = instrumental_track
+        self.backend_used = backend_used
+        self.separation_confidence = separation_confidence
+        self.feature_cache = feature_cache
+        self.vad_segments = vad_segments
+        self.device_meta = device_meta or {}
+        self.vocal_device: Optional[Any] = None
+        self.instrumental_device: Optional[Any] = None
+        self.mix_device: Optional[Any] = None
+
+    @property
+    def vocal_track(self) -> Optional[np.ndarray]:
+        if self._vocal_host is None and self.vocal_device is not None:
+            self._vocal_host = np.asarray(self.vocal_device)
+        return self._vocal_host
+
+    @vocal_track.setter
+    def vocal_track(self, value: Optional[np.ndarray]) -> None:
+        self._vocal_host = value
+
+    @property
+    def instrumental_track(self) -> Optional[np.ndarray]:
+        if self._inst_host is None and self.instrumental_device is not None:
+            self._inst_host = np.asarray(self.instrumental_device)
+        return self._inst_host
+
+    @instrumental_track.setter
+    def instrumental_track(self, value: Optional[np.ndarray]) -> None:
+        self._inst_host = value
+
+    @property
+    def has_vocal(self) -> bool:
+        """True when a vocal stem exists (host or device) WITHOUT downloading."""
+        return self._vocal_host is not None or self.vocal_device is not None
 
 
 class SeparationEngine:
@@ -277,7 +322,8 @@ class SeparationEngine:
         return cache[key]
 
     def separate_on_device(self, audio: np.ndarray):
-        """Returns (vocal_dev, inst_dev, meta) as DEVICE arrays of len(audio)."""
+        """Returns (vocal_dev, inst_dev, mix_dev, meta); stems are DEVICE
+        arrays of len(audio), mix_dev is the bucket-padded upload handle."""
         import jax.numpy as jnp
 
         audio = np.asarray(audio, dtype=np.float32)
@@ -291,7 +337,8 @@ class SeparationEngine:
 
         t0 = time.time()
         padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
-        vocal, inst = fn(jnp.asarray(padded))
+        mix_dev = jnp.asarray(padded)
+        vocal, inst = fn(mix_dev)
         # fence before timing: async dispatch returns immediately, so an
         # unfenced clock measures host enqueue, not device compute (the
         # reference fenced with torch.cuda.synchronize, backends.py:183-214).
@@ -307,7 +354,7 @@ class SeparationEngine:
             "gpu_pipeline_device": _platform_of(vocal),
             "gpu_pipeline_mode": "device_ola",
         }
-        return vocal[:n], inst[:n], meta
+        return vocal[:n], inst[:n], mix_dev, meta
 
     # -- public API (parity: separate_for_detection) -----------------------
 
@@ -315,28 +362,32 @@ class SeparationEngine:
         if hasattr(self.backend, "separate_windows_fn"):
             import jax.numpy as jnp
 
-            vocal_dev, inst_dev, meta = self.separate_on_device(audio)
+            vocal_dev, inst_dev, mix_dev, meta = self.separate_on_device(audio)
             if need_instrumental:
-                # one stacked transfer: the tunnel charges a fixed round-trip
-                # per download, so 2 separate pulls cost an extra ~35 ms
+                # both stems will be exported — download them now as ONE
+                # stacked transfer: the tunnel charges a fixed round-trip per
+                # download, so 2 separate pulls cost an extra ~35 ms
                 both = np.asarray(jnp.stack([vocal_dev, inst_dev]))
                 vocal, inst = both[0], both[1]
             else:
-                # host copy of the instrumental stem is export-only; callers
-                # that don't export it skip a track-length tunnel transfer
-                vocal = np.asarray(vocal_dev)
+                # no host copy at all: detection runs from device-resident
+                # envelopes; SeparationResult downloads lazily if a consumer
+                # (vocal export, ASR copy, fallback kernels) ever needs the
+                # waveform. A full-track pull over the tunnel costs more than
+                # the entire separation compute.
+                vocal = None
                 inst = None
         else:
             vocal, inst, meta = self.separate_chunked(audio)
-            vocal_dev = inst_dev = None
-        return vocal, inst, vocal_dev, inst_dev, meta
+            vocal_dev = inst_dev = mix_dev = None
+        return vocal, inst, vocal_dev, inst_dev, mix_dev, meta
 
     def separate_for_detection(
         self, audio: np.ndarray, need_instrumental: bool = True
     ) -> SeparationResult:
         audio = np.asarray(audio, dtype=np.float32)
         try:
-            vocal, inst, vocal_dev, inst_dev, meta = self._separate_once(
+            vocal, inst, vocal_dev, inst_dev, mix_dev, meta = self._separate_once(
                 audio, need_instrumental
             )
         except Exception as exc:
@@ -366,14 +417,19 @@ class SeparationEngine:
                 logger.error("separation failed (%s)", exc)
                 return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
             try:
-                vocal, inst, vocal_dev, inst_dev, meta = run_with_device_fallback(
+                vocal, inst, vocal_dev, inst_dev, mix_dev, meta = run_with_device_fallback(
                     lambda: self._separate_once(audio, need_instrumental), label="separation"
                 )
             except Exception as exc2:
                 logger.error("separation failed after retries (%s)", exc2)
                 return SeparationResult(None, None, backend_used="none", separation_confidence=0.0)
 
-        confidence = _estimate_confidence(audio, vocal)
+        if vocal is not None:
+            confidence = _estimate_confidence(audio, vocal)
+        else:
+            # host stem not materialized: the energy partition needs one
+            # scalar, not a 10 MB track download
+            confidence = _estimate_confidence_device(audio, vocal_dev)
         result = SeparationResult(
             vocal_track=vocal,
             instrumental_track=inst,
@@ -383,6 +439,7 @@ class SeparationEngine:
         )
         result.vocal_device = vocal_dev  # device handles for downstream fusion
         result.instrumental_device = inst_dev
+        result.mix_device = mix_dev
         return result
 
 
@@ -400,4 +457,17 @@ def _estimate_confidence(mix: np.ndarray, vocal: np.ndarray) -> float:
     e_voc = float(np.mean(np.square(vocal)))
     ratio = e_voc / e_mix
     # confident when the vocal estimate is a meaningful, sub-unity share
+    return float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
+
+
+def _estimate_confidence_device(mix: np.ndarray, vocal_dev) -> float:
+    """Same heuristic with the vocal energy reduced ON DEVICE (one scalar
+    transfer instead of the full stem)."""
+    import jax.numpy as jnp
+
+    if vocal_dev is None:
+        return 0.0
+    e_mix = float(np.mean(np.square(mix))) + 1e-12
+    e_voc = float(jnp.mean(jnp.square(vocal_dev)))
+    ratio = e_voc / e_mix
     return float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))

@@ -130,9 +130,14 @@ def main() -> int:
                          "checkpoint) when exceeded. NEVER kill a TPU-attached "
                          "process externally — it wedges the tunnel.")
     ap.add_argument("--probe-threshold-s", type=float, default=0.0,
-                    help="if >0: exit rc=3 when the first post-compile step "
-                         "is slower than this (degraded tunnel attach); rerun "
-                         "in a fresh process to draw a new attach")
+                    help="if >0: exit rc=3 when a warm dispatched matmul is "
+                         "slower than this BEFORE paying the train-step "
+                         "compile (degraded tunnel attach); rerun in a fresh "
+                         "process to draw a new attach")
+    ap.add_argument("--warm-step-threshold-s", type=float, default=0.0,
+                    help="if >0: exit rc=3 when the first warm train step is "
+                         "slower than this (same rationale, different scale "
+                         "than the matmul probe)")
     args = ap.parse_args()
 
     from audio_cut_tpu.models.convtdf import ConvTDFSeparator
@@ -194,9 +199,9 @@ def main() -> int:
         step_s = time.time() - t0
         if step == 1:
             print(f"step 1 (compile) {step_s:.1f}s  loss {metrics['loss']:.4f}", flush=True)
-        elif step == 2 and args.probe_threshold_s > 0 and step_s > args.probe_threshold_s:
+        elif step == 2 and args.warm_step_threshold_s > 0 and step_s > args.warm_step_threshold_s:
             print(f"degraded attach: warm step {step_s:.2f}s > "
-                  f"{args.probe_threshold_s}s — rerun in a fresh process", flush=True)
+                  f"{args.warm_step_threshold_s}s — rerun in a fresh process", flush=True)
             return 3
         elif step % max(1, args.steps // 20) == 0 or step == 2:
             print(f"step {step:6d}  loss {metrics['loss']:.4f}  "

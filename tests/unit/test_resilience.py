@@ -190,7 +190,7 @@ class TestBundleFallback:
             "device_pipeline.retry_backoff_s": 0.0,
         })
         try:
-            bundle = _build_bundle(None, audio, audio, sep, sr, {}, {})
+            bundle = _build_bundle(None, audio, lambda: audio, sep, sr, {}, {})
         finally:
             reset_runtime_config()
         assert bundle is not None

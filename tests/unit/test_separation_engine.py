@@ -55,7 +55,7 @@ def test_device_ola_matches_full(song_audio):
     audio, sr = song_audio
     eng = SeparationEngine(sample_rate=sr, backend="spectral")
     v_full, _ = eng.separate_full(audio)
-    v_dev, i_dev, meta = eng.separate_on_device(audio)
+    v_dev, i_dev, _mix_dev, meta = eng.separate_on_device(audio)
     v_dev = np.asarray(v_dev)
     assert meta["gpu_pipeline_mode"] == "device_ola"
     err = np.abs(v_dev - v_full).max()

@@ -43,7 +43,7 @@ def test_sp_sharded_matches_single_device():
     from audio_cut_tpu.separation.engine import SeparationEngine
 
     eng = SeparationEngine(sr, backend="spectral")
-    v_ref_dev, i_ref_dev, _ = eng.separate_on_device(audio)
+    v_ref_dev, i_ref_dev, _mix, _ = eng.separate_on_device(audio)
     v_ref = np.asarray(v_ref_dev)
     i_ref = np.asarray(i_ref_dev)
 

@@ -127,3 +127,38 @@ class TestBatchSharding:
         for (v, i), t in zip(out, tracks):
             assert v.shape == t.shape
             np.testing.assert_allclose(v + i, t, atol=2e-5)
+
+
+def test_device_path_matches_host_path():
+    """speech_probs_from_device (fused device resample+forward) must agree
+    with the host scipy-resample path on the derived speech mask."""
+    import jax.numpy as jnp
+
+    from audio_cut_tpu.models.vad import ConvVAD, default_checkpoint_path
+
+    ckpt = default_checkpoint_path()
+    if ckpt is None:
+        import pytest
+
+        pytest.skip("no packaged ConvVAD checkpoint")
+    sr = 44100
+    vad = ConvVAD(sr, checkpoint=ckpt)
+    rng = np.random.default_rng(11)
+    t = np.arange(sr * 12) / sr
+    audio = (0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    for s, d in ((1.0, 2.0), (5.0, 2.5), (9.0, 1.5)):
+        seg = (t >= s) & (t < s + d)
+        audio[seg] += 0.4 * np.sin(2 * np.pi * 220 * t[seg]).astype(np.float32) * (
+            0.3 + 0.7 * np.clip(np.sin(2 * np.pi * 4.0 * t[seg]), 0, None)
+        )
+
+    p_host, fps_h = vad.speech_probs(audio)
+    p_dev, fps_d = vad.speech_probs_from_device(jnp.asarray(audio), audio.size)
+    assert fps_h == fps_d
+    n = min(p_host.size, p_dev.size)
+    assert n > 0
+    mask_h = p_host[:n] > vad.threshold
+    mask_d = p_dev[:n] > vad.threshold
+    agreement = float(np.mean(mask_h == mask_d))
+    assert agreement > 0.9, f"mask agreement {agreement:.3f}"
+    assert float(np.mean(np.abs(p_host[:n] - p_dev[:n]))) < 0.1
