@@ -26,7 +26,15 @@ from audio_cut_tpu.analysis.features import TrackFeatures, DEFAULT_HOP_S, _compu
 from audio_cut_tpu.ops import beats as B
 from audio_cut_tpu.ops.frames import frame_rms
 
-DB_STRIDE = 32
+# 64 samples = 1.45 ms at 44.1 kHz. Guard/refine consumers operate on >=5 ms
+# windows and the final cut lands on a mix zero-crossing anyway, so the
+# coarser grid is still lossless for them — while halving both the flat
+# transfer bytes and the reduce_window compute vs the previous stride 32.
+DB_STRIDE = 64
+
+# eval_shape results per (shapes + statics): re-tracing the fused program
+# on every API call costs real host time (see build_detection_bundle)
+_EVAL_SHAPE_CACHE: dict = {}
 
 
 def _rms_db_grid(x: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -58,11 +66,13 @@ def _binned_window_sums(sq: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, jnp.
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "feat_hop", "fine_hop", "fine_frame", "guard_win",
-                     "refine_win", "act_hop", "act_frame"),
+                     "refine_win", "act_hop", "act_frame", "vad_channels",
+                     "vad_depth"),
 )
 def _bundle_fn(
     mix: jnp.ndarray,
     vocal: jnp.ndarray,
+    vad_params,
     sr: int,
     feat_hop: int,
     fine_hop: int,
@@ -71,6 +81,8 @@ def _bundle_fn(
     refine_win: int,
     act_hop: int,
     act_frame: int,
+    vad_channels: int = 0,
+    vad_depth: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     out = dict(_compute_features(mix, feat_hop, sr / feat_hop))
     out["vocal_rms_grid"] = frame_rms(vocal, 2048, feat_hop)
@@ -80,17 +92,30 @@ def _bundle_fn(
     out["mix_db_refine"] = _rms_db_grid(mix, refine_win)
     out["vocal_db_fine"] = _rms_db_grid(vocal, fine_frame)
     out["act_rms"] = frame_rms(vocal, act_frame, act_hop)
+    if vad_params is not None:
+        # fused learned VAD: resample + conv forward ride the same program
+        # and the same flat download (models/vad.py device_probs_graph)
+        from audio_cut_tpu.models.vad import device_probs_graph  # noqa: PLC0415
+
+        out["vad_probs"] = device_probs_graph(
+            vad_params, vocal, sr_in=sr, channels=vad_channels, depth=vad_depth
+        )
+        # vocal energy for the separation-confidence heuristic: one more
+        # scalar in the flat transfer instead of its own round trip
+        out["vocal_energy"] = jnp.mean(jnp.square(vocal))
     return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "feat_hop", "fine_hop", "fine_frame", "guard_win",
-                     "refine_win", "act_hop", "act_frame"),
+                     "refine_win", "act_hop", "act_frame", "vad_channels",
+                     "vad_depth"),
 )
 def _bundle_flat_fn(
     mix: jnp.ndarray,
     vocal: jnp.ndarray,
+    vad_params,
     sr: int,
     feat_hop: int,
     fine_hop: int,
@@ -99,9 +124,12 @@ def _bundle_flat_fn(
     refine_win: int,
     act_hop: int,
     act_frame: int,
+    vad_channels: int = 0,
+    vad_depth: int = 0,
 ) -> jnp.ndarray:
-    out = _bundle_fn(mix, vocal, sr, feat_hop, fine_hop, fine_frame,
-                     guard_win, refine_win, act_hop, act_frame)
+    out = _bundle_fn(mix, vocal, vad_params, sr, feat_hop, fine_hop, fine_frame,
+                     guard_win, refine_win, act_hop, act_frame,
+                     vad_channels, vad_depth)
     return jnp.concatenate([
         jnp.ravel(out[k]).astype(jnp.float32) for k in sorted(out)
     ])
@@ -121,6 +149,9 @@ class DetectionBundle:
     db_stride: int
     act_rms: np.ndarray            # 20 ms-hop vocal RMS for classification
     act_fps: float
+    vad_probs: Optional[np.ndarray] = None   # fused ConvVAD frame probs (16 kHz/512)
+    vad_fps: float = 0.0
+    vocal_energy: Optional[float] = None     # mean(vocal^2) for confidence
 
 
 def build_detection_bundle(
@@ -131,8 +162,11 @@ def build_detection_bundle(
     *,
     guard_win_ms: float = 80.0,
     refine_win_ms: float = 5.0,
+    vad_model=None,
 ) -> DetectionBundle:
-    """mix/vocal may be bucket-padded device arrays; n_true trims outputs."""
+    """mix/vocal may be bucket-padded device arrays; n_true trims outputs.
+    Pass a ConvVAD as ``vad_model`` to fuse its resample+forward into the
+    same program and flat transfer."""
     feat_hop = max(1, int(round(DEFAULT_HOP_S * sr)))
     fine_hop = max(1, int(round(0.01 * sr)))
     fine_frame = max(fine_hop, int(round(0.025 * sr)))
@@ -141,12 +175,25 @@ def build_detection_bundle(
     act_hop = max(1, int(0.02 * sr))
     act_frame = max(act_hop * 2, int(0.05 * sr))
 
-    args = (mix_dev, vocal_dev, sr, feat_hop, fine_hop, fine_frame,
-            guard_win, refine_win, act_hop, act_frame)
+    vad_params = vad_model.params if vad_model is not None else None
+    vad_channels = vad_model.net.channels if vad_model is not None else 0
+    vad_depth = vad_model.net.depth if vad_model is not None else 0
+    args = (mix_dev, vocal_dev, vad_params, sr, feat_hop, fine_hop, fine_frame,
+            guard_win, refine_win, act_hop, act_frame, vad_channels, vad_depth)
     # ONE flat transfer: the tunnel costs ~35 ms of latency PER array, so a
     # 15-array device_get spent ~0.5 s in round-trips (measured); shipping a
-    # single concatenated vector is one round-trip for the same bytes
-    shapes = jax.eval_shape(_bundle_fn, *args)
+    # single concatenated vector is one round-trip for the same bytes.
+    # eval_shape re-TRACES the whole program (flax apply included) — ~0.6 s
+    # of host time per call on a 1-core host — so cache it by shape key.
+    shape_key = (
+        tuple(mix_dev.shape), tuple(vocal_dev.shape), sr, feat_hop, fine_hop,
+        fine_frame, guard_win, refine_win, act_hop, act_frame,
+        vad_channels, vad_depth, vad_params is not None,
+    )
+    shapes = _EVAL_SHAPE_CACHE.get(shape_key)
+    if shapes is None:
+        shapes = jax.eval_shape(_bundle_fn, *args)
+        _EVAL_SHAPE_CACHE[shape_key] = shapes
     keys = sorted(shapes)
     flat_host = np.asarray(_bundle_flat_fn(*args))
     host: Dict[str, np.ndarray] = {}
@@ -179,6 +226,16 @@ def build_detection_bundle(
     n_fine = n_true // fine_hop + 1
     n_db = -(-n_true // DB_STRIDE)
     n_act = n_true // act_hop + 1
+    vad_probs = None
+    vad_fps = 0.0
+    vocal_energy = None
+    if vad_model is not None and "vad_probs" in host:
+        from audio_cut_tpu.models.vad import FRAME as VAD_FRAME, VAD_SR  # noqa: PLC0415
+
+        true_frames = int(n_true * VAD_SR / sr) // VAD_FRAME
+        vad_probs = host["vad_probs"][:true_frames]
+        vad_fps = VAD_SR / VAD_FRAME
+        vocal_energy = float(host["vocal_energy"])
     return DetectionBundle(
         sr=sr,
         features=features,
@@ -192,4 +249,7 @@ def build_detection_bundle(
         db_stride=DB_STRIDE,
         act_rms=host["act_rms"][:n_act],
         act_fps=sr / float(act_hop),
+        vad_probs=vad_probs,
+        vad_fps=vad_fps,
+        vocal_energy=vocal_energy,
     )

@@ -15,6 +15,7 @@ Config: `vad.backend: energy_gate | conv`, `vad.checkpoint` for weights.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
@@ -164,14 +165,21 @@ class ConvVAD:
 
     def detect(self, audio: Optional[np.ndarray], min_speech_s: float = 0.1,
                min_silence_s: float = 0.15, rms_env: Optional[np.ndarray] = None,
-               audio_dev=None, n_true: Optional[int] = None):
+               audio_dev=None, n_true: Optional[int] = None,
+               probs: Optional[np.ndarray] = None):
         """Speech segments in native-SR seconds (rms_env accepted for seam
         compatibility with EnergyGateDetector; unused). Pass ``audio_dev`` (+
         ``n_true``) to run from a device-resident waveform without a host
-        copy."""
+        copy, or ``probs`` when the frame probabilities were already computed
+        (e.g. fused into the DetectionBundle program)."""
         from audio_cut_tpu.detection.vad import VadResult
 
-        if audio_dev is not None:
+        if probs is not None:
+            probs = np.asarray(probs)
+            if n_true is not None:
+                probs = probs[: int(n_true * VAD_SR / self.native_sr) // FRAME]
+            fps = VAD_SR / FRAME
+        elif audio_dev is not None:
             probs, fps = self.speech_probs_from_device(
                 audio_dev, int(n_true if n_true is not None else audio_dev.shape[-1])
             )
@@ -203,25 +211,48 @@ def _lowpass_taps(sr_in: int, n_taps: int = 127, cutoff_hz: float = 7500.0) -> n
     return (h / h.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _resample_matrix(sr_in: int) -> Tuple[np.ndarray, int, int, int]:
+    """(W, up, down, left_pad): one dense per-frame matrix folding the
+    anti-alias FIR *and* the per-phase linear interpolation.
+
+    x16[up*q + p] = sum_c W[c, p] * x[down*q - left_pad + c] — so the whole
+    44.1 k -> 16 k resample is frames-of-x @ W, a dense (width x up) matmul
+    the MXU eats, instead of a single-channel dilated conv (which XLA
+    executes on the VPU at ~50x the cost — measured 0.5 s/track vs sub-ms).
+    """
+    taps = _lowpass_taps(sr_in).astype(np.float64)
+    n_taps = taps.size
+    half = (n_taps - 1) // 2
+    g = math.gcd(sr_in, VAD_SR)
+    up, down = VAD_SR // g, sr_in // g
+    width = down + n_taps - 1 + 1  # interp needs base and base+1
+    W = np.zeros((width, up), dtype=np.float64)
+    for p in range(up):
+        pos = p * down / up
+        base = int(pos)
+        frac = pos - base
+        for k in range(n_taps):
+            # x_lp[m] = sum_k taps[k] * x[m + k - half]
+            W[base + k, p] += taps[k] * (1.0 - frac)
+            W[base + 1 + k, p] += taps[k] * frac
+    return W.astype(np.float32), up, down, half
+
+
 _DEV_PROBS_CACHE: dict = {}
 
 
-def _jitted_device_probs(channels: int, depth: int, sr_in: int, in_len: int):
-    """One fused device program: anti-aliased linear resample of a DEVICE
-    waveform to 16 kHz -> overlapped fixed windows -> conv forward -> frame
-    probabilities. Replaces the host scipy polyphase + re-upload path so the
-    vocal stem never leaves HBM (the full-track download over the tunnel
-    costs more than the whole VAD compute).
+def device_probs_graph(params, x: jnp.ndarray, *, sr_in: int,
+                       channels: int = 32, depth: int = 4) -> jnp.ndarray:
+    """Resample-to-16k + conv-forward GRAPH over a padded device waveform.
 
-    Keyed by (arch, sr, padded input length): track lengths are bucket-padded
-    by the separation engine, so compiles stay bounded.
+    Traceable inside an enclosing jit (the DetectionBundle fuses it into its
+    single program): anti-aliased FIR lowpass, linear-interp resample to
+    16 kHz, overlapped fixed windows, ConvVADNet forward, halo-trimmed flat
+    frame probabilities. ``x.shape[-1]`` is static at trace time.
     """
-    key = (channels, depth, sr_in, in_len)
-    if key in _DEV_PROBS_CACHE:
-        return _DEV_PROBS_CACHE[key]
-
+    in_len = int(x.shape[-1])
     net = ConvVADNet(channels=channels, depth=depth)
-    taps = jnp.asarray(_lowpass_taps(sr_in))
     out_len = int(round(in_len * VAD_SR / sr_in))
     halo = int(HALO_S * VAD_SR) // FRAME * FRAME
     interior = int(WINDOW_S * VAD_SR) // FRAME * FRAME
@@ -231,27 +262,45 @@ def _jitted_device_probs(channels: int, depth: int, sr_in: int, in_len: int):
     while n_pad < n_windows:
         n_pad *= 2
 
-    ratio = sr_in / float(VAD_SR)
-    pos = np.arange(out_len, dtype=np.float64) * ratio
-    i0 = np.minimum(pos.astype(np.int64), in_len - 2)
-    frac = (pos - i0).astype(np.float32)
-    i0 = jnp.asarray(i0, jnp.int32)
-    frac_j = jnp.asarray(frac)
+    # resample = frames-of-x @ W (anti-alias FIR + per-phase linear interp
+    # folded into one dense matrix — see _resample_matrix): lands on the MXU
+    # instead of the VPU's single-channel conv path. HIGHEST keeps f32 (TPU
+    # matmuls default to bf16, too coarse for audio).
+    Wmat, up, down, half = _resample_matrix(sr_in)
+    width = Wmat.shape[0]
+    n_frames = -(-out_len // up)
+    xp = jnp.pad(x, (half, max(0, n_frames * down + width - half - in_len)))
+    base = xp[: n_frames * down].reshape(n_frames, down)
+    # overlapping tail columns come from the NEXT frame's samples
+    ext_len = width - down
+    ext = xp[down: (n_frames + 1) * down].reshape(n_frames, down)[:, :ext_len]
+    frames = jnp.concatenate([base, ext], axis=1)
+    x16_full = jnp.matmul(
+        frames, jnp.asarray(Wmat), precision=jax.lax.Precision.HIGHEST
+    ).reshape(-1)
+    x16 = x16_full[:out_len]
+    padded = jnp.pad(x16, (halo, n_pad * interior + halo - out_len))
+    windows = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(padded, k * interior, window)
+        for k in range(n_pad)
+    ])
+    logits = net.apply({"params": params}, windows)
+    probs = jax.nn.sigmoid(logits)
+    hf = halo // FRAME
+    return probs[:, hf:hf + interior // FRAME].reshape(-1)
 
-    def fwd(params, x):
-        x_lp = jnp.convolve(x, taps, mode="same")
-        x16 = x_lp[i0] * (1.0 - frac_j) + x_lp[i0 + 1] * frac_j
-        padded = jnp.pad(x16, (halo, n_pad * interior + halo - out_len))
-        windows = jnp.stack([
-            jax.lax.dynamic_slice_in_dim(padded, k * interior, window)
-            for k in range(n_pad)
-        ])
-        logits = net.apply({"params": params}, windows)
-        probs = jax.nn.sigmoid(logits)
-        hf = halo // FRAME
-        return probs[:, hf:hf + interior // FRAME].reshape(-1)
 
-    _DEV_PROBS_CACHE[key] = jax.jit(fwd)
+def _jitted_device_probs(channels: int, depth: int, sr_in: int, in_len: int):
+    """Standalone jitted wrapper of device_probs_graph (used when the bundle
+    program is unavailable). Keyed by (arch, sr, padded input length):
+    track lengths are bucket-padded, so compiles stay bounded."""
+    key = (channels, depth, sr_in, in_len)
+    if key not in _DEV_PROBS_CACHE:
+        _DEV_PROBS_CACHE[key] = jax.jit(
+            lambda params, x: device_probs_graph(
+                params, x, sr_in=sr_in, channels=channels, depth=depth
+            )
+        )
     return _DEV_PROBS_CACHE[key]
 
 

@@ -145,6 +145,12 @@ def separate_track_sp_sharded(
     inv_wsum = (1.0 / wsum).astype(np.float32)
 
     padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
+    if bool(get_config("device_pipeline.upload_int16", True)):
+        # mirror the single-device engine's int16 upload quantization so the
+        # sp-sharded output matches it bit-for-bit
+        peak = max(1.0, float(np.abs(padded).max()))
+        padded = np.round(padded * (32767.0 / peak)).astype(np.int16).astype(np.float32)
+        padded = padded * np.float32(peak / 32767.0)
     wins = np.stack([padded[p.start:p.start + window] for p in plans])
     starts = np.asarray([p.start for p in plans], dtype=np.int32)
 
@@ -178,9 +184,9 @@ def separate_track_sp_sharded(
         # mark it varying over the manual axes so the carry types agree
         zeros = jnp.zeros(padded_len, jnp.float32)
         try:
-            zeros = jax.lax.pvary(zeros, axes)
-        except AttributeError:  # older jax spelling
             zeros = jax.lax.pcast(zeros, axes, to="varying")
+        except AttributeError:  # older jax without pcast
+            zeros = jax.lax.pvary(zeros, axes)
         vocal_l, _ = jax.lax.scan(ola, zeros, (wv, starts_l))
         inst_l, _ = jax.lax.scan(ola, zeros, (wi, starts_l))
         vocal = jax.lax.psum(vocal_l, axes)

@@ -71,25 +71,38 @@ def process_pure_vocal_split(
         return sep.vocal_track if sep.has_vocal else audio
 
     # -- shared features: ONE fused device program over (mix, vocal) ---------
-    qc = get_config("v2_mdd.quality_control", {}) or {}
-    eqc = qc.get("enforce_quiet_cut", {}) or {}
-    lbr = qc.get("local_boundary_refine", {}) or {}
-    bundle = _build_bundle(splitter, audio, vocal_host, sep, sr, eqc, lbr)
-    features = bundle.features if bundle is not None else _features_fallback(audio, sr)
-
-    # -- VAD focus windows ----------------------------------------------------
-    # learned ConvVAD when a checkpoint is available, energy gate otherwise
+    # the learned ConvVAD's resample+forward rides INSIDE the bundle program
     # (parity: reference Silero-first chain, vocal_pause_detector.py:74-123)
     from audio_cut_tpu.models.vad import ConvVAD, build_vad
 
     vad_detector = build_vad(sr)
+    qc = get_config("v2_mdd.quality_control", {}) or {}
+    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    lbr = qc.get("local_boundary_refine", {}) or {}
+    bundle = _build_bundle(
+        splitter, audio, vocal_host, sep, sr, eqc, lbr,
+        vad_model=vad_detector if isinstance(vad_detector, ConvVAD) else None,
+    )
+    features = bundle.features if bundle is not None else _features_fallback(audio, sr)
+    if bundle is not None and bundle.vocal_energy is not None and len(audio):
+        # refresh confidence from the fused scalar (the engine skipped its
+        # own round trip when the host stem stayed on device)
+        e_mix = float(np.mean(np.square(audio))) + 1e-12
+        ratio = bundle.vocal_energy / e_mix
+        sep.separation_confidence = float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
+
+    # -- VAD focus windows ----------------------------------------------------
     vad = None
-    if isinstance(vad_detector, ConvVAD) and vocal_dev is not None:
-        # fused device path: stem never leaves HBM, only frame probs download
-        try:
-            vad = vad_detector.detect(None, audio_dev=vocal_dev, n_true=len(audio))
-        except Exception as exc:
-            logger.warning("device VAD failed (%s); using host waveform path", exc)
+    if isinstance(vad_detector, ConvVAD):
+        if bundle is not None and bundle.vad_probs is not None:
+            # probs came back in the bundle's flat transfer — zero extra trips
+            vad = vad_detector.detect(None, probs=bundle.vad_probs, n_true=len(audio))
+        elif vocal_dev is not None:
+            # bundle unavailable: fused device program, only probs download
+            try:
+                vad = vad_detector.detect(None, audio_dev=vocal_dev, n_true=len(audio))
+            except Exception as exc:
+                logger.warning("device VAD failed (%s); using host waveform path", exc)
     if vad is None:
         vad = vad_detector.detect(
             vocal_host(), rms_env=bundle.vocal_rms_fine if bundle else None
@@ -462,7 +475,7 @@ def _features_fallback(audio: np.ndarray, sr: int):
     )
 
 
-def _build_bundle(splitter, audio, vocal_supplier, sep, sr, eqc, lbr):
+def _build_bundle(splitter, audio, vocal_supplier, sep, sr, eqc, lbr, vad_model=None):
     """Fused detection-envelope pass (see analysis/bundle.py).
 
     Failure handling (reference analog: ORT CUDA session failure -> CPU
@@ -497,6 +510,7 @@ def _build_bundle(splitter, audio, vocal_supplier, sep, sr, eqc, lbr):
             mix_dev, vocal_dev, sr, len(audio),
             guard_win_ms=float(eqc.get("win_ms", 80)),
             refine_win_ms=float(lbr.get("window_ms", 5)),
+            vad_model=vad_model,
         )
 
     try:

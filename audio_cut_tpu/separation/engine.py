@@ -109,7 +109,7 @@ class SeparationResult:
         vocal_track: Optional[np.ndarray],
         instrumental_track: Optional[np.ndarray],
         backend_used: str,
-        separation_confidence: float,
+        separation_confidence: Optional[float],
         feature_cache: Optional[Any] = None,
         vad_segments: Optional[List[Tuple[float, float]]] = None,
         device_meta: Optional[Dict[str, Any]] = None,
@@ -117,13 +117,34 @@ class SeparationResult:
         self._vocal_host = vocal_track
         self._inst_host = instrumental_track
         self.backend_used = backend_used
-        self.separation_confidence = separation_confidence
+        self._confidence = separation_confidence
+        self._mix_energy: Optional[float] = None
         self.feature_cache = feature_cache
         self.vad_segments = vad_segments
         self.device_meta = device_meta or {}
         self.vocal_device: Optional[Any] = None
         self.instrumental_device: Optional[Any] = None
         self.mix_device: Optional[Any] = None
+
+    @property
+    def separation_confidence(self) -> float:
+        """Lazy when the stems stayed on device: the detection bundle
+        usually refreshes this from its own fused scalar; reading it before
+        that costs one device scalar reduction, not a stem download."""
+        if self._confidence is None:
+            if self.vocal_device is not None and self._mix_energy is not None:
+                import jax.numpy as jnp
+
+                e_voc = float(jnp.mean(jnp.square(self.vocal_device)))
+                ratio = e_voc / (self._mix_energy + 1e-12)
+                self._confidence = float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
+            else:
+                self._confidence = 0.0
+        return self._confidence
+
+    @separation_confidence.setter
+    def separation_confidence(self, value: Optional[float]) -> None:
+        self._confidence = value
 
     @property
     def vocal_track(self) -> Optional[np.ndarray]:
@@ -300,7 +321,10 @@ class SeparationEngine:
 
         backend = self.backend
 
-        def run(audio_padded: "jnp.ndarray"):
+        def run(audio_raw: "jnp.ndarray", scale: "jnp.ndarray"):
+            # int16 uploads halve the dominant host->device transfer; the
+            # dequantize (x * scale) fuses into the first window slice
+            audio_padded = audio_raw.astype(jnp.float32) * scale
             windows = jnp.stack([
                 jax.lax.dynamic_slice_in_dim(audio_padded, s, window) for s in starts
             ])
@@ -314,8 +338,9 @@ class SeparationEngine:
                     vocal, jax.lax.dynamic_slice_in_dim(vocal, s, window) + wv[k], s, axis=0)
                 inst = jax.lax.dynamic_update_slice_in_dim(
                     inst, jax.lax.dynamic_slice_in_dim(inst, s, window) + wi[k], s, axis=0)
-            scale = jnp.asarray(inv_wsum)
-            return vocal * scale, inst * scale
+            norm = jnp.asarray(inv_wsum)
+            # the dequantized f32 mix stays in HBM for the detection bundle
+            return vocal * norm, inst * norm, audio_padded
 
         fn = jax.jit(run)
         cache[key] = (fn, n)
@@ -337,8 +362,16 @@ class SeparationEngine:
 
         t0 = time.time()
         padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
-        mix_dev = jnp.asarray(padded)
-        vocal, inst = fn(mix_dev)
+        if bool(get_config("device_pipeline.upload_int16", True)):
+            # -90 dB quantization vs half the upload bytes over the tunnel;
+            # splice reconstruction is untouched (host slicing of the input)
+            peak = max(1.0, float(np.abs(padded).max()))
+            raw = np.round(padded * (32767.0 / peak)).astype(np.int16)
+            scale = np.float32(peak / 32767.0)
+        else:
+            raw = padded
+            scale = np.float32(1.0)
+        vocal, inst, mix_dev = fn(jnp.asarray(raw), scale)
         # fence before timing: async dispatch returns immediately, so an
         # unfenced clock measures host enqueue, not device compute (the
         # reference fenced with torch.cuda.synchronize, backends.py:183-214).
@@ -427,9 +460,10 @@ class SeparationEngine:
         if vocal is not None:
             confidence = _estimate_confidence(audio, vocal)
         else:
-            # host stem not materialized: the energy partition needs one
-            # scalar, not a 10 MB track download
-            confidence = _estimate_confidence_device(audio, vocal_dev)
+            # host stem not materialized: defer — the detection bundle
+            # refreshes confidence from its own fused scalar, and a direct
+            # read falls back to one device scalar reduction
+            confidence = None
         result = SeparationResult(
             vocal_track=vocal,
             instrumental_track=inst,
@@ -437,6 +471,8 @@ class SeparationEngine:
             separation_confidence=confidence,
             device_meta=meta,
         )
+        if confidence is None:
+            result._mix_energy = float(np.mean(np.square(audio)))
         result.vocal_device = vocal_dev  # device handles for downstream fusion
         result.instrumental_device = inst_dev
         result.mix_device = mix_dev
@@ -460,14 +496,3 @@ def _estimate_confidence(mix: np.ndarray, vocal: np.ndarray) -> float:
     return float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
 
 
-def _estimate_confidence_device(mix: np.ndarray, vocal_dev) -> float:
-    """Same heuristic with the vocal energy reduced ON DEVICE (one scalar
-    transfer instead of the full stem)."""
-    import jax.numpy as jnp
-
-    if vocal_dev is None:
-        return 0.0
-    e_mix = float(np.mean(np.square(mix))) + 1e-12
-    e_voc = float(jnp.mean(jnp.square(vocal_dev)))
-    ratio = e_voc / e_mix
-    return float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
