@@ -55,12 +55,17 @@ def _binned_window_sums(sq: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, jnp.
     nb = -(-t // DB_STRIDE)
     pad = nb * DB_STRIDE - t
     bins = jnp.pad(sq, (0, pad)).reshape(nb, DB_STRIDE).sum(-1)
-    cnt = jnp.pad(jnp.ones((t,), jnp.float32), (0, pad)).reshape(nb, DB_STRIDE).sum(-1)
     wb = max(1, int(round(window / DB_STRIDE)))
     half = wb // 2
     sums = jax.lax.reduce_window(bins, 0.0, jax.lax.add, (wb,), (1,), [(half, wb - half - 1)])
-    counts = jax.lax.reduce_window(cnt, 0.0, jax.lax.add, (wb,), (1,), [(half, wb - half - 1)])
-    return sums, jnp.maximum(counts, 1.0)
+    # counts depend only on (t, window) — both static here — so build the
+    # grid with host numpy at trace time: XLA otherwise constant-folds the
+    # equivalent reduce_window at several seconds of compile time
+    cnt = np.pad(np.ones((t,), np.float32), (0, pad)).reshape(nb, DB_STRIDE).sum(-1)
+    cnt = np.pad(cnt, (half, wb - half - 1))
+    cs = np.concatenate([[0.0], np.cumsum(cnt, dtype=np.float64)])
+    counts = (cs[wb:] - cs[:-wb]).astype(np.float32)
+    return sums, jnp.asarray(np.maximum(counts, 1.0))
 
 
 @functools.partial(

@@ -152,7 +152,7 @@ def main() -> None:
         if proc.returncode == 0 and "xrt" in row:
             if best is None or row["xrt"] > best["xrt"]:
                 best = row
-            if best["xrt"] >= 58.0:
+            if best["xrt"] >= 85.0:
                 break  # healthy attach captured; don't burn more chip time
         time.sleep(10)
 

@@ -72,3 +72,40 @@ def test_separation_result_fields(song_audio):
     assert res.backend_used == "spectral"
     assert 0.0 <= res.separation_confidence <= 1.0
     np.testing.assert_allclose(res.vocal_track + res.instrumental_track, audio, atol=2e-5)
+
+
+def test_default_path_never_materializes_host_stems(tmp_path):
+    """The wave-free detection path must not download the vocal stem: the
+    host copy is the single largest tunnel transfer and the default
+    mix-segments pipeline runs entirely from device envelopes."""
+    import audio_cut_tpu.pipeline.modes.pure_vocal as pv
+    from audio_cut_tpu import separate_and_segment
+    from audio_cut_tpu.io import write_wav
+    from audio_cut_tpu.separation.engine import SeparationResult
+
+    captured = {}
+    orig = SeparationResult.vocal_track.fget
+
+    def spying_get(self):
+        captured["accessed"] = True
+        return orig(self)
+
+    sr = 44100
+    t = np.arange(sr * 12) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    for s, d in ((3, 0.6), (8, 0.7)):
+        audio[int(s * sr):int((s + d) * sr)] = 0
+    song = tmp_path / "song.wav"
+    write_wav(song, audio, sr)
+
+    try:
+        SeparationResult.vocal_track = property(spying_get, SeparationResult.vocal_track.fset)
+        m = separate_and_segment(
+            input_uri=str(song), export_dir=str(tmp_path / "out"), mode="v2.2_mdd"
+        )
+    finally:
+        SeparationResult.vocal_track = property(orig, SeparationResult.vocal_track.fset)
+    assert m["success"]
+    assert "accessed" not in captured, (
+        "default mix-segments v2.2_mdd path downloaded the vocal stem"
+    )
