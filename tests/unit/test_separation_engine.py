@@ -109,3 +109,28 @@ def test_default_path_never_materializes_host_stems(tmp_path):
     assert "accessed" not in captured, (
         "default mix-segments v2.2_mdd path downloaded the vocal stem"
     )
+
+
+def test_upload_int16_toggle_equivalence():
+    """float32 uploads (upload_int16=false) must agree with the default
+    int16-quantized path to the quantization bound (~peak/32767)."""
+    from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+    from audio_cut_tpu.separation.engine import SeparationEngine
+
+    sr = 44100
+    rng = np.random.default_rng(5)
+    audio = (0.5 * np.sin(2 * np.pi * 220 * np.arange(sr * 5) / sr)
+             + 0.05 * rng.standard_normal(sr * 5)).astype(np.float32)
+
+    eng = SeparationEngine(sr)
+    v16, i16, _, _ = eng.separate_on_device(audio)
+    v16 = np.asarray(v16)
+    try:
+        set_runtime_config({"device_pipeline.upload_int16": False})
+        eng2 = SeparationEngine(sr)
+        v32, i32, _, _ = eng2.separate_on_device(audio)
+        v32 = np.asarray(v32)
+    finally:
+        reset_runtime_config()
+    assert v16.shape == v32.shape
+    assert float(np.abs(v16 - v32).max()) < 5e-4
