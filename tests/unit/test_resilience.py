@@ -195,3 +195,37 @@ class TestBundleFallback:
             reset_runtime_config()
         assert bundle is not None
         assert bundle.features.n_frames > 0
+
+
+def test_wave_free_path_matches_per_stage_fallback(tmp_path, monkeypatch):
+    """The fused wave-free path and the per-stage host-kernel fallback see
+    the same song: cut decisions must agree closely (same count, sub-100 ms
+    placement deltas) even though envelopes come from different kernels."""
+    import numpy as np
+
+    import audio_cut_tpu.pipeline.modes.pure_vocal as pv
+    from audio_cut_tpu import separate_and_segment
+    from audio_cut_tpu.io import write_wav
+
+    sr = 44100
+    t = np.arange(sr * 16) / sr
+    rng = np.random.default_rng(77)
+    audio = (0.02 * rng.standard_normal(t.size)).astype(np.float32)
+    for s, d in ((0.5, 2.5), (4.2, 2.8), (8.4, 2.5), (12.3, 2.7)):
+        seg = (t >= s) & (t < s + d)
+        audio[seg] += (0.45 * np.sin(2 * np.pi * 220 * t[seg]) *
+                       (0.3 + 0.7 * np.clip(np.sin(2 * np.pi * 3.0 * t[seg]), 0, None))
+                       ).astype(np.float32)
+    song = tmp_path / "song.wav"
+    write_wav(song, audio, sr)
+
+    m1 = separate_and_segment(input_uri=str(song), export_dir=str(tmp_path / "o1"),
+                              mode="v2.2_mdd")
+    monkeypatch.setattr(pv, "_build_bundle", lambda *a, **k: None)
+    m2 = separate_and_segment(input_uri=str(song), export_dir=str(tmp_path / "o2"),
+                              mode="v2.2_mdd")
+    cuts1 = [c / sr for c in m1["cuts"]["samples"]]
+    cuts2 = [c / sr for c in m2["cuts"]["samples"]]
+    assert len(cuts1) == len(cuts2), (cuts1, cuts2)
+    deltas = [abs(a - b) for a, b in zip(cuts1, cuts2)]
+    assert max(deltas) < 0.1, (cuts1, cuts2)
