@@ -58,10 +58,20 @@ def process_hybrid_mdd(
     audio = splitter._load(input_path)
     duration = len(audio) / float(sr)
     sep = splitter.separator.separate_for_detection(audio)
-    vocal = sep.vocal_track if sep.vocal_track is not None else audio
 
-    # 2. beat analysis over the shared feature grid
-    features = build_track_features(audio, sr)
+    def vocal_host() -> np.ndarray:
+        # lazy host stem: only fallback paths below ever download it
+        return sep.vocal_track if getattr(sep, "has_vocal", False) else audio
+
+    # 2. fused envelope pass + beat analysis over the shared feature grid
+    # (same wave-free treatment as the v2.2_mdd path: features, vocal RMS,
+    # guard dB lookups all ride one device program + one flat download)
+    from audio_cut_tpu.pipeline.modes.pure_vocal import _build_bundle
+
+    qc = get_config("v2_mdd.quality_control", {}) or {}
+    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    bundle = _build_bundle(splitter, audio, vocal_host, sep, sr, eqc, {})
+    features = bundle.features if bundle is not None else build_track_features(audio, sr)
     density = str(hcfg.get("beat_cut_density", "medium"))
     preset = (hcfg.get("density_presets", {}) or {}).get(density, {}) or {}
     analyzer = BeatAnalyzer(
@@ -71,12 +81,15 @@ def process_hybrid_mdd(
     beat_analysis = analyzer.analyze(features)
 
     # 3. strategy cuts
-    import jax.numpy as jnp
+    if bundle is not None:
+        vocal_rms = bundle.vocal_rms_grid
+    else:
+        import jax.numpy as jnp
 
-    from audio_cut_tpu.ops.frames import frame_rms
+        from audio_cut_tpu.ops.frames import frame_rms
 
-    hop = max(1, int(round(features.hop_s * sr)))
-    vocal_rms = np.asarray(frame_rms(jnp.asarray(vocal, dtype=jnp.float32), 2048, hop))
+        hop = max(1, int(round(features.hop_s * sr)))
+        vocal_rms = np.asarray(frame_rms(jnp.asarray(vocal_host(), dtype=jnp.float32), 2048, hop))
     strategy = build_strategy(str(hcfg.get("lib_alignment", "snap_to_beat")))
     ctx = SegmentationContext(
         duration_s=duration,
@@ -92,10 +105,22 @@ def process_hybrid_mdd(
     sres = strategy.generate_cut_points(ctx)
 
     # 4. re-guard strategy cuts, then remap _lib flags onto refined times
-    qc = get_config("v2_mdd.quality_control", {}) or {}
-    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    from audio_cut_tpu.cutting.refine import QuietLookup
+
+    vocal_lookup = mix_lookup = None
+    if bundle is not None:
+        floor_pct = float(eqc.get("floor_percentile", 0.5))
+        vocal_lookup = QuietLookup(
+            sr=sr, db_grid=bundle.vocal_db_guard, stride=bundle.db_stride,
+            floor_db=eqc.get("floor_db_override"), floor_percentile=floor_pct,
+        )
+        mix_lookup = QuietLookup(
+            sr=sr, db_grid=bundle.mix_db_guard, stride=bundle.db_stride,
+            floor_db=eqc.get("floor_db_override"), floor_percentile=floor_pct,
+        )
     refine_result = finalize_cut_points(
-        CutContext(sr=sr, mix_wave=audio, vocal_wave=vocal),
+        CutContext(sr=sr, mix_wave=audio,
+                   vocal_wave=None if bundle is not None else vocal_host()),
         [CutPoint(t, 0.9 if lib else 0.8, kind="beat" if lib else "pause")
          for t, lib in zip(sres.cuts, sres.lib_flags)],
         min_gap_s=float(qc.get("min_split_gap", 1.2)),
@@ -104,6 +129,8 @@ def process_hybrid_mdd(
         guard_win_ms=float(eqc.get("win_ms", 80)),
         floor_db=eqc.get("floor_db_override"),
         floor_percentile=float(eqc.get("floor_percentile", 0.5)),
+        vocal_lookup=vocal_lookup,
+        mix_lookup=mix_lookup,
     )
     final_times = [p.t for p in refine_result.final_points]
     lib_by_raw = {round(t, 4): lib for t, lib in zip(sres.cuts, sres.lib_flags)}
@@ -122,7 +149,11 @@ def process_hybrid_mdd(
     cut_samples = sorted({0, len(audio), *(
         int(round(t * sr)) for t in final_times if 0 < int(round(t * sr)) < len(audio)
     )})
-    flags, debug = classify_segments_vocal_presence(vocal, cut_samples, sr)
+    flags, debug = classify_segments_vocal_presence(
+        None if bundle is not None else vocal_host(), cut_samples, sr,
+        act_rms=bundle.act_rms if bundle is not None else None,
+        n_samples=len(audio),
+    )
     segments, flags_out, debug_out = split_at_sample_level(
         audio, cut_samples, sr, segment_flags=flags, debug_entries=debug
     )
