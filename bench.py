@@ -132,7 +132,13 @@ def main() -> None:
     best = None
     attempts = []
     here = os.path.dirname(os.path.abspath(__file__))
-    for attempt in range(MAX_ATTEMPTS):
+    # two waves: if every first-wave attempt draws a degraded attach (the
+    # tunnel wedges for minutes after any killed client anywhere), cool down
+    # and try again before settling for a degraded measurement
+    for attempt in range(MAX_ATTEMPTS + 4):
+        if attempt == MAX_ATTEMPTS and best is None:
+            print("# first wave all degraded; 3 min cooldown", file=sys.stderr)
+            time.sleep(180)
         env = dict(os.environ)
         env["BENCH_SLOW_WINDOW_S"] = str(SLOW_WINDOW_S)
         # NO timeout: a mid-flight kill wedges the tunnel for every later
