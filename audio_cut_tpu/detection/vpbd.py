@@ -71,20 +71,29 @@ class VocalPhraseBoundaryDetector:
         self,
         *,
         mode: str,
-        vocal_audio: np.ndarray,
+        vocal_audio: Optional[np.ndarray] = None,
         features: TrackFeatures,
         focus_windows: Optional[List[Tuple[float, float]]],
         duration_s: float,
         output_dir: Optional[str] = None,
+        bundle=None,
+        vocal_supplier=None,
     ) -> VPBDDetectionResult:
+        """``vocal_audio`` may be omitted when a DetectionBundle and a lazy
+        ``vocal_supplier`` are given: acoustic candidates and beat risk then
+        run from device-computed envelopes, and the waveform is only
+        materialised when the ASR copy genuinely needs it."""
+        if vocal_supplier is None:
+            vocal_supplier = lambda: vocal_audio  # noqa: E731
+
         effective_mode = mode
         timeline: Optional[LyricsTimeline] = None
         lyrics_meta: Optional[Dict[str, Any]] = None
         note: Optional[str] = None
 
-        # -- lyrics priors (vpbd_asr only) ----------------------------------
+        # -- lyrics priors (vpbd_asr only; ASR copy needs the waveform) ------
         if mode == "vpbd_asr":
-            timeline, lyrics_meta, fallback_reason = self._align_lyrics(vocal_audio, duration_s)
+            timeline, lyrics_meta, fallback_reason = self._align_lyrics(vocal_supplier(), duration_s)
             if timeline is None:
                 effective_mode = str(get_config("vpbd.fallback_mode", "vpbd_acoustic"))
                 note = f"lyrics_unavailable:{fallback_reason}"
@@ -94,8 +103,18 @@ class VocalPhraseBoundaryDetector:
 
         # -- candidate pools ---------------------------------------------------
         pause_detector = PureVocalPauseDetector(self.sr)
+        pv_cfg = get_config("v2_mdd.pure_vocal_detection", {}) or {}
+        wave_free = bundle is not None and bool(
+            pv_cfg.get("enable_relative_energy_mode", True)
+        )
+        n_samples = int(duration_s * self.sr)
         pauses = pause_detector.detect_pure_vocal_pauses(
-            vocal_audio, features=features, focus_windows=focus_windows, enable_mdd=True
+            None if wave_free else vocal_supplier(),
+            features=features, focus_windows=focus_windows, enable_mdd=True,
+            rms_env=bundle.vocal_rms_fine if bundle is not None else None,
+            env_db_grid=bundle.vocal_db_fine if bundle is not None else None,
+            env_db_stride=bundle.db_stride if bundle is not None else 1,
+            n_samples=n_samples,
         )
         breath_range = tuple(get_config("v2_mdd.pure_vocal_detection.breath_duration_range", [0.1, 0.3]))
         acoustic = adapt_acoustic_pauses(
@@ -112,12 +131,17 @@ class VocalPhraseBoundaryDetector:
         beat_pool: List[CutCandidate] = []
         bc_cfg = get_config("vpbd.beat_candidates", {}) or {}
         if pool_mode != "legacy" and bc_cfg.get("enable", True):
-            import jax.numpy as jnp
+            if bundle is not None:
+                vocal_rms = bundle.vocal_rms_grid
+            else:
+                import jax.numpy as jnp
 
-            from audio_cut_tpu.ops.frames import frame_rms
+                from audio_cut_tpu.ops.frames import frame_rms
 
-            hop = max(1, int(round(features.hop_s * self.sr)))
-            vocal_rms = np.asarray(frame_rms(jnp.asarray(vocal_audio, dtype=jnp.float32), 2048, hop))
+                hop = max(1, int(round(features.hop_s * self.sr)))
+                vocal_rms = np.asarray(
+                    frame_rms(jnp.asarray(vocal_supplier(), dtype=jnp.float32), 2048, hop)
+                )
             beat_pool = generate_beat_candidates(
                 features,
                 vocal_rms=vocal_rms,

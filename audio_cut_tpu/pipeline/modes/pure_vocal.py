@@ -135,11 +135,12 @@ def process_pure_vocal_split(
         detector = VocalPhraseBoundaryDetector(sr)
         vres = detector.detect(
             mode=mode,
-            vocal_audio=vocal_host(),
             features=features,
             focus_windows=focus,
             duration_s=duration,
             output_dir=output_dir,
+            bundle=bundle,
+            vocal_supplier=vocal_host,
         )
         raw_points = [CutPoint(c.t, c.score, kind=c.source.value) for c in vres.selected]
         if not raw_points and vres.plan.rescue_points:
