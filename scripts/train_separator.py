@@ -134,6 +134,10 @@ def main() -> int:
                          "slower than this BEFORE paying the train-step "
                          "compile (degraded tunnel attach); rerun in a fresh "
                          "process to draw a new attach")
+    ap.add_argument("--resume", default=None,
+                    help="initialise params from an existing checkpoint "
+                         "('packaged' or a path) for a fine-tuning leg; the "
+                         "optimizer state restarts fresh")
     ap.add_argument("--warm-step-threshold-s", type=float, default=0.0,
                     help="if >0: exit rc=3 when the first warm train step is "
                          "slower than this (same rationale, different scale "
@@ -176,6 +180,19 @@ def main() -> int:
     else:
         sep = ConvTDFSeparator(44100)
     trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+    if args.resume:
+        import jax
+
+        from audio_cut_tpu.models.convtdf import load_checkpoint, packaged_checkpoint_path
+
+        src = packaged_checkpoint_path() if args.resume == "packaged" else args.resume
+        if not src:
+            raise SystemExit("--resume packaged: no packaged checkpoint found")
+        trainer.params = load_checkpoint(
+            str(src), template=lambda: sep.init_params(jax.random.PRNGKey(0))
+        )
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
+        print(f"resumed params from {src}", flush=True)
 
     rng = np.random.default_rng(0)
     if args.bootstrap:
