@@ -159,19 +159,10 @@ class DetectionBundle:
     vocal_energy: Optional[float] = None     # mean(vocal^2) for confidence
 
 
-def build_detection_bundle(
-    mix_dev: jnp.ndarray,
-    vocal_dev: jnp.ndarray,
-    sr: int,
-    n_true: int,
-    *,
-    guard_win_ms: float = 80.0,
-    refine_win_ms: float = 5.0,
-    vad_model=None,
-) -> DetectionBundle:
-    """mix/vocal may be bucket-padded device arrays; n_true trims outputs.
-    Pass a ConvVAD as ``vad_model`` to fuse its resample+forward into the
-    same program and flat transfer."""
+def bundle_statics(sr: int, guard_win_ms: float = 80.0, refine_win_ms: float = 5.0):
+    """(feat_hop, fine_hop, fine_frame, guard_win, refine_win, act_hop,
+    act_frame) — the static grid parameters shared by the staged and the
+    fully-fused program builders."""
     feat_hop = max(1, int(round(DEFAULT_HOP_S * sr)))
     fine_hop = max(1, int(round(0.01 * sr)))
     fine_frame = max(fine_hop, int(round(0.025 * sr)))
@@ -179,31 +170,35 @@ def build_detection_bundle(
     refine_win = max(1, int(round(refine_win_ms / 1000.0 * sr)))
     act_hop = max(1, int(0.02 * sr))
     act_frame = max(act_hop * 2, int(0.05 * sr))
+    return feat_hop, fine_hop, fine_frame, guard_win, refine_win, act_hop, act_frame
 
-    vad_params = vad_model.params if vad_model is not None else None
+
+def bundle_shapes(padded_len: int, sr: int, statics, vad_model):
+    """Cached eval_shape of the bundle outputs: re-tracing the program
+    (flax apply included) costs ~0.6 s host time per call on a 1-core host."""
     vad_channels = vad_model.net.channels if vad_model is not None else 0
     vad_depth = vad_model.net.depth if vad_model is not None else 0
-    args = (mix_dev, vocal_dev, vad_params, sr, feat_hop, fine_hop, fine_frame,
-            guard_win, refine_win, act_hop, act_frame, vad_channels, vad_depth)
-    # ONE flat transfer: the tunnel costs ~35 ms of latency PER array, so a
-    # 15-array device_get spent ~0.5 s in round-trips (measured); shipping a
-    # single concatenated vector is one round-trip for the same bytes.
-    # eval_shape re-TRACES the whole program (flax apply included) — ~0.6 s
-    # of host time per call on a 1-core host — so cache it by shape key.
-    shape_key = (
-        tuple(mix_dev.shape), tuple(vocal_dev.shape), sr, feat_hop, fine_hop,
-        fine_frame, guard_win, refine_win, act_hop, act_frame,
-        vad_channels, vad_depth, vad_params is not None,
-    )
+    shape_key = (padded_len, sr, statics, vad_channels, vad_depth, vad_model is not None)
     shapes = _EVAL_SHAPE_CACHE.get(shape_key)
     if shapes is None:
-        shapes = jax.eval_shape(_bundle_fn, *args)
+        x = jax.ShapeDtypeStruct((padded_len,), jnp.float32)
+        vad_params = vad_model.params if vad_model is not None else None
+        shapes = jax.eval_shape(
+            lambda p: _bundle_fn(x, x, p, sr, *statics, vad_channels, vad_depth),
+            vad_params,
+        )
         _EVAL_SHAPE_CACHE[shape_key] = shapes
-    keys = sorted(shapes)
-    flat_host = np.asarray(_bundle_flat_fn(*args))
+    return shapes
+
+
+def unpack_bundle(
+    flat_host: np.ndarray, shapes, sr: int, n_true: int, statics, vad_model
+) -> DetectionBundle:
+    """Host-side unpack of the single flat transfer into a DetectionBundle."""
+    feat_hop, fine_hop, fine_frame, guard_win, refine_win, act_hop, act_frame = statics
     host: Dict[str, np.ndarray] = {}
     off = 0
-    for k in keys:
+    for k in sorted(shapes):
         size = int(np.prod(shapes[k].shape)) if shapes[k].shape else 1
         v = flat_host[off:off + size]
         host[k] = v.reshape(shapes[k].shape) if shapes[k].shape else v[0]
@@ -258,3 +253,31 @@ def build_detection_bundle(
         vad_fps=vad_fps,
         vocal_energy=vocal_energy,
     )
+
+
+def build_detection_bundle(
+    mix_dev: jnp.ndarray,
+    vocal_dev: jnp.ndarray,
+    sr: int,
+    n_true: int,
+    *,
+    guard_win_ms: float = 80.0,
+    refine_win_ms: float = 5.0,
+    vad_model=None,
+) -> DetectionBundle:
+    """mix/vocal may be bucket-padded device arrays; n_true trims outputs.
+    Pass a ConvVAD as ``vad_model`` to fuse its resample+forward into the
+    same program and flat transfer.
+
+    ONE flat transfer: the tunnel costs ~35 ms of latency PER array, so a
+    15-array device_get spent ~0.5 s in round-trips (measured); shipping a
+    single concatenated vector is one round-trip for the same bytes.
+    """
+    statics = bundle_statics(sr, guard_win_ms, refine_win_ms)
+    vad_params = vad_model.params if vad_model is not None else None
+    vad_channels = vad_model.net.channels if vad_model is not None else 0
+    vad_depth = vad_model.net.depth if vad_model is not None else 0
+    args = (mix_dev, vocal_dev, vad_params, sr, *statics, vad_channels, vad_depth)
+    shapes = bundle_shapes(int(mix_dev.shape[-1]), sr, statics, vad_model)
+    flat_host = np.asarray(_bundle_flat_fn(*args))
+    return unpack_bundle(flat_host, shapes, sr, n_true, statics, vad_model)

@@ -56,11 +56,38 @@ def process_pure_vocal_split(
     audio = splitter._load(input_path)
     duration = len(audio) / float(sr)
 
-    # -- separation ---------------------------------------------------------
+    # -- separation + detection envelopes -----------------------------------
+    # the learned ConvVAD's resample+forward rides INSIDE the bundle program
+    # (parity: reference Silero-first chain, vocal_pause_detector.py:74-123)
+    from audio_cut_tpu.models.vad import ConvVAD, build_vad
+
     export_flags = splitter._normalize_export_plan(export_plan, default=("mix_segments",))
-    sep = splitter.separator.separate_for_detection(
-        audio, need_instrumental="full_instrumental" in export_flags
-    )
+    vad_detector = build_vad(sr)
+    vad_model = vad_detector if isinstance(vad_detector, ConvVAD) else None
+    qc = get_config("v2_mdd.quality_control", {}) or {}
+    eqc = qc.get("enforce_quiet_cut", {}) or {}
+    lbr = qc.get("local_boundary_refine", {}) or {}
+
+    # preferred: separation OLA + detection bundle as ONE device program
+    # (one upload, one execution, one flat download); any failure falls back
+    # to the staged two-program path with its retry/CPU-rebuild chain
+    sep = bundle = None
+    if bool(get_config("device_pipeline.fused_program", True)):
+        try:
+            from audio_cut_tpu.separation.fused import separate_and_detect_fused
+
+            sep, bundle = separate_and_detect_fused(
+                splitter.separator, vad_model, audio,
+                guard_win_ms=float(eqc.get("win_ms", 80)),
+                refine_win_ms=float(lbr.get("window_ms", 5)),
+            )
+        except Exception as exc:
+            logger.warning("fused single-program path unavailable (%s); staged path", exc)
+            sep = bundle = None
+    if sep is None:
+        sep = splitter.separator.separate_for_detection(
+            audio, need_instrumental="full_instrumental" in export_flags
+        )
     vocal_dev = getattr(sep, "vocal_device", None)
 
     def vocal_host() -> np.ndarray:
@@ -70,19 +97,10 @@ def process_pure_vocal_split(
         kernels) trigger the tunnel download, once."""
         return sep.vocal_track if sep.has_vocal else audio
 
-    # -- shared features: ONE fused device program over (mix, vocal) ---------
-    # the learned ConvVAD's resample+forward rides INSIDE the bundle program
-    # (parity: reference Silero-first chain, vocal_pause_detector.py:74-123)
-    from audio_cut_tpu.models.vad import ConvVAD, build_vad
-
-    vad_detector = build_vad(sr)
-    qc = get_config("v2_mdd.quality_control", {}) or {}
-    eqc = qc.get("enforce_quiet_cut", {}) or {}
-    lbr = qc.get("local_boundary_refine", {}) or {}
-    bundle = _build_bundle(
-        splitter, audio, vocal_host, sep, sr, eqc, lbr,
-        vad_model=vad_detector if isinstance(vad_detector, ConvVAD) else None,
-    )
+    if bundle is None:
+        bundle = _build_bundle(
+            splitter, audio, vocal_host, sep, sr, eqc, lbr, vad_model=vad_model,
+        )
     features = bundle.features if bundle is not None else _features_fallback(audio, sr)
     if bundle is not None and bundle.vocal_energy is not None and len(audio):
         # refresh confidence from the fused scalar (the engine skipped its

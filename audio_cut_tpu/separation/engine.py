@@ -279,23 +279,12 @@ class SeparationEngine:
 
     # -- on-device OLA path (single upload, single download) ----------------
 
-    def _device_ola_fn(self, padded_len: int):
-        """Build (and cache) a jitted whole-track separation program.
-
-        One device program: slice static windows -> batched backend ->
-        weighted halo-trimmed OLA, all in HBM. Replaces the per-chunk host
-        loop (and its 2 transfers per chunk) with 1 upload + 2 downloads.
-        """
+    def _ola_graph(self, padded_len: int):
+        """Traceable whole-track separation GRAPH (not jitted): used both by
+        the standalone OLA program below and — composed with the detection
+        bundle — by the fully-fused single-program path."""
         import jax
         import jax.numpy as jnp
-
-        # module-level cache: compiled programs must outlive the engine
-        # instance (the API builds a fresh splitter/engine per call)
-        key = (self._backend_name, id(self.backend), self.sample_rate, padded_len,
-               self.chunk_s, self.overlap_s, self.halo_s, self.align)
-        cache = _OLA_PROGRAM_CACHE
-        if key in cache:
-            return cache[key]
 
         plans, window = chunk_schedule(
             padded_len, self.sample_rate, self.chunk_s, self.overlap_s, self.halo_s, self.align
@@ -342,6 +331,26 @@ class SeparationEngine:
             # the dequantized f32 mix stays in HBM for the detection bundle
             return vocal * norm, inst * norm, audio_padded
 
+        return run, n
+
+    def _device_ola_fn(self, padded_len: int):
+        """Build (and cache) the jitted whole-track separation program.
+
+        One device program: slice static windows -> batched backend ->
+        weighted halo-trimmed OLA, all in HBM. Replaces the per-chunk host
+        loop (and its 2 transfers per chunk) with 1 upload + 2 downloads.
+        """
+        import jax
+
+        # module-level cache: compiled programs must outlive the engine
+        # instance (the API builds a fresh splitter/engine per call)
+        key = (self._backend_name, id(self.backend), self.sample_rate, padded_len,
+               self.chunk_s, self.overlap_s, self.halo_s, self.align)
+        cache = _OLA_PROGRAM_CACHE
+        if key in cache:
+            return cache[key]
+
+        run, n = self._ola_graph(padded_len)
         fn = jax.jit(run)
         cache[key] = (fn, n)
         return cache[key]

@@ -134,3 +134,39 @@ def test_upload_int16_toggle_equivalence():
         reset_runtime_config()
     assert v16.shape == v32.shape
     assert float(np.abs(v16 - v32).max()) < 5e-4
+
+
+def test_fused_single_program_matches_staged(tmp_path):
+    """The fused OLA+bundle program must produce the same stems and the same
+    envelope bundle as the staged two-program path."""
+    import jax.numpy as jnp
+
+    from audio_cut_tpu.analysis.bundle import build_detection_bundle
+    from audio_cut_tpu.models.vad import build_vad, ConvVAD
+    from audio_cut_tpu.separation.engine import SeparationEngine
+    from audio_cut_tpu.separation.fused import separate_and_detect_fused
+
+    sr = 44100
+    rng = np.random.default_rng(9)
+    t = np.arange(sr * 8) / sr
+    audio = (0.4 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    audio[sr * 3:int(sr * 3.6)] *= 0.02
+
+    vad = build_vad(sr)
+    vad_model = vad if isinstance(vad, ConvVAD) else None
+    eng = SeparationEngine(sr)
+    sep_f, bundle_f = separate_and_detect_fused(eng, vad_model, audio)
+
+    eng2 = SeparationEngine(sr)
+    v_dev, i_dev, mix_dev, _ = eng2.separate_on_device(audio)
+    n_pad = int(mix_dev.shape[-1])
+    vd = jnp.pad(v_dev, (0, n_pad - v_dev.shape[-1]))
+    bundle_s = build_detection_bundle(mix_dev, vd, sr, len(audio), vad_model=vad_model)
+
+    assert np.allclose(np.asarray(sep_f.vocal_device), np.asarray(v_dev), atol=1e-6)
+    assert np.allclose(bundle_f.vocal_rms_fine, bundle_s.vocal_rms_fine, atol=1e-6)
+    assert np.allclose(bundle_f.mix_db_guard, bundle_s.mix_db_guard, atol=1e-4)
+    assert abs(bundle_f.features.bpm - bundle_s.features.bpm) < 1e-6
+    if vad_model is not None:
+        assert np.allclose(bundle_f.vad_probs, bundle_s.vad_probs, atol=1e-5)
+    assert sep_f.device_meta["gpu_pipeline_mode"] == "fused_single_program"
