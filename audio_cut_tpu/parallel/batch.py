@@ -96,7 +96,10 @@ def separate_track_sp_sharded(
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.4.35 stable spelling
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from audio_cut_tpu.config import get_config
