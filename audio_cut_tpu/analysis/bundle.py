@@ -106,8 +106,10 @@ def _bundle_fn(
             vad_params, vocal, sr_in=sr, channels=vad_channels, depth=vad_depth
         )
         # vocal energy for the separation-confidence heuristic: one more
-        # scalar in the flat transfer instead of its own round trip
-        out["vocal_energy"] = jnp.mean(jnp.square(vocal))
+        # scalar in the flat transfer instead of its own round trip. SUM, not
+        # mean — the track is bucket-padded here, so a mean would shrink with
+        # the pad fraction; unpack_bundle divides by the true length (ADVICE r2)
+        out["vocal_energy"] = jnp.sum(jnp.square(vocal))
     return out
 
 
@@ -235,7 +237,9 @@ def unpack_bundle(
         true_frames = int(n_true * VAD_SR / sr) // VAD_FRAME
         vad_probs = host["vad_probs"][:true_frames]
         vad_fps = VAD_SR / VAD_FRAME
-        vocal_energy = float(host["vocal_energy"])
+        # device scalar is sum(vocal^2) over the zero-padded track; the mean
+        # over the TRUE length matches _estimate_confidence's convention
+        vocal_energy = float(host["vocal_energy"]) / max(n_true, 1)
     return DetectionBundle(
         sr=sr,
         features=features,

@@ -70,11 +70,16 @@ class EnergyGateDetector:
         self.frame = max(self.hop, int(round(frame_s * sample_rate)))
         self.relative_floor_db = relative_floor_db
 
-    def detect(self, audio: np.ndarray, rms_env: Optional[np.ndarray] = None) -> VadResult:
-        if audio is None or audio.size == 0:
-            return VadResult([], self.sr / self.hop)
+    def detect(self, audio: Optional[np.ndarray], rms_env: Optional[np.ndarray] = None) -> VadResult:
+        # waveform-free when an envelope is supplied: the audio arg is only
+        # the RMS source, so callers with a bundle envelope need not download
+        # the stem (ADVICE r2)
         if rms_env is not None:
             rms = np.asarray(rms_env)
+            if rms.size == 0:
+                return VadResult([], self.sr / self.hop)
+        elif audio is None or audio.size == 0:
+            return VadResult([], self.sr / self.hop)
         else:
             rms = np.asarray(frame_rms(jnp.asarray(audio, dtype=jnp.float32), self.frame, self.hop))
         db = 20.0 * np.log10(rms + 1e-12)

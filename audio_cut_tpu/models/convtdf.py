@@ -224,7 +224,71 @@ class ConvTDFBackend:
                 "separation output will be unusable"
             )
             self.params = self.sep.init_params(jax.random.PRNGKey(0))
+        self.map_group = max(1, int(cfg.get("map_group", 4)))
         self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
+
+    def engine_geometry(self) -> Dict[str, float]:
+        """Native chunk schedule for the engine's OLA paths.
+
+        Engine windows ARE model windows ((dim_t-1)*hop samples), so the
+        batched windows path is a single batched forward — no inner re-tiling.
+        Halo = n_fft/2 (iSTFT edge spread) is recomputed by neighbours; a
+        short cross-fade ramp smooths the joins. align = hop keeps every
+        window start on the STFT frame grid, so chunk-vs-full equivalence
+        holds to float precision (same constraint as the reference's
+        align_hop=4096 padding, backends.py:268-281).
+        """
+        sr = float(self.sample_rate)
+        target = self.sep.window_samples
+        halo = self.sep.n_fft // 2
+        ramp = 8 * self.sep.hop
+        overlap = 2 * halo + ramp
+        # overlap must stay well under the window for a positive stride
+        overlap = min(overlap, (target // (2 * self.sep.hop)) * self.sep.hop)
+        return {
+            "chunk_s": target / sr,
+            "overlap_s": overlap / sr,
+            "halo_s": min(halo, overlap // 3) / sr,
+            "align": self.sep.hop,
+        }
+
+    def _forward_batch(self, params: Any, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[n, window_samples] -> (vocal, inst), sub-batched via lax.map so
+        U-Net activation memory stays bounded while the MXU runs full tiles."""
+        n = windows.shape[0]
+        length = int(windows.shape[-1])
+        group = min(self.map_group, n)
+        pad_n = (-n) % group
+        wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
+
+        def body(batch):
+            return self.sep.separate_fn(params, batch, length)
+
+        v, i = jax.lax.map(body, wp.reshape(-1, group, length))
+        return v.reshape(-1, length)[:n], i.reshape(-1, length)[:n]
+
+    def separate_windows_fn(self, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched windows path for the device-OLA / fused / sp-sharded
+        engines: [N, W] -> 2x[N, W].
+
+        When the engine scheduled windows at this backend's native geometry
+        (the default — see engine_geometry), this is ONE batched model
+        forward. A generic window size (e.g. an sp-sharded caller pinned to
+        the 10 s schedule) falls back to in-graph 50%-overlap tiling with all
+        tiles fused into one batched forward.
+        """
+        length = int(windows.shape[-1])
+        if length == self.sep.window_samples:
+            return self._forward_batch(self.params, windows)
+
+        from audio_cut_tpu.separation.tiling import tiled_forward_batch
+
+        def forward(tiles: jnp.ndarray) -> jnp.ndarray:
+            v, _ = self._forward_batch(self.params, tiles)
+            return v
+
+        vocal = tiled_forward_batch(forward, self.sep.window_samples, windows, length)
+        return vocal, windows[:, :length] - vocal
 
     def _tiled_separate(self, params: Any, x: jnp.ndarray, length: int):
         """Tile a long window into BATCHED model windows (50% overlap,
@@ -243,20 +307,15 @@ class ConvTDFBackend:
         return self._tiled(self.params, window, int(window.shape[-1]))
 
     def separate(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Whole-track separation by internal fixed windows with OLA."""
+        """Whole-track separation via the engine's device-OLA machinery at
+        this backend's native geometry (real constructor, not field surgery)."""
         from audio_cut_tpu.separation.engine import SeparationEngine
 
-        eng = SeparationEngine.__new__(SeparationEngine)  # reuse OLA machinery
-        eng.sample_rate = self.sample_rate
-        eng.chunk_s = self.sep.window_samples / self.sample_rate
-        eng.overlap_s = min(2.5, eng.chunk_s / 4)
-        eng.halo_s = min(0.5, eng.chunk_s / 12)
-        eng.align = self.sep.hop
+        eng = SeparationEngine(self.sample_rate, backend=self)
         eng.enable_fallback = False
-        eng._backend = self
-        eng._backend_name = self.name
-        v, i, _ = eng.separate_chunked(audio)
-        return v, i
+        v_dev, i_dev, _mix, _meta = eng.separate_on_device(np.asarray(audio, np.float32))
+        both = np.asarray(jnp.stack([v_dev, i_dev]))
+        return both[0], both[1]
 
 
 PACKAGED_CHECKPOINT = "convtdf_bootstrap_v1.msgpack"

@@ -104,7 +104,6 @@ def separate_track_sp_sharded(
 
     from audio_cut_tpu.config import get_config
     from audio_cut_tpu.separation.backends import make_backend
-    from audio_cut_tpu.separation.engine import chunk_schedule
 
     if mesh is None:
         mesh = make_mesh(dp=len(jax.devices()), sp=1, tp=1)
@@ -114,46 +113,44 @@ def separate_track_sp_sharded(
     audio = np.asarray(audio, dtype=np.float32)
     n = audio.shape[-1]
     sr = int(sample_rate)
-    chunk_s = float(get_config("device_pipeline.chunk_seconds", 10.0))
-    overlap_s = float(get_config("device_pipeline.overlap_seconds", 2.5))
-    halo_s = float(get_config("device_pipeline.halo_seconds", 0.5))
-    align = int(get_config("device_pipeline.align_hop", 4096))
 
-    # identical padding to SeparationEngine.separate_on_device (PAD_BUCKET_S
-    # bucket, then align): the chunk schedule — and thus the output — matches
-    # the single-device engine exactly
-    from audio_cut_tpu.separation.engine import PAD_BUCKET_S
+    # resolve backend + its native geometry exactly as the single-device
+    # engine does (SeparationEngine._ensure_geometry), then reuse the
+    # engine's shared plan builder so the schedule/weights — and thus the
+    # output — match the single-device engine bit-for-bit
+    from audio_cut_tpu.separation.engine import (
+        PAD_BUCKET_S,
+        SeparationEngine,
+        ola_plan,
+        quantize_upload,
+    )
+
+    if backend is None or isinstance(backend, str):
+        bk = make_backend(
+            backend or str(get_config("enhanced_separation.backend", "spectral")), sr
+        )
+    else:
+        bk = backend
+    if not hasattr(bk, "separate_windows_fn"):
+        raise ValueError(f"backend {bk.name!r} has no batched windows path")
+    eng = SeparationEngine(sr, backend=bk)
+    eng._ensure_geometry()
+    align = eng.align
 
     bucket = int(round(PAD_BUCKET_S * sr))
     padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
     padded_len = ((padded_len + align - 1) // align) * align
-    plans, window = chunk_schedule(padded_len, sr, chunk_s, overlap_s, halo_s, align)
-    halo = int(round(halo_s * sr))
-    ramp = max(1, int(round((overlap_s - 2 * halo_s) * sr)))
-
-    # per-window OLA weights (cross-fade + halo zeroing), as in the engine
+    plans, window, weights, inv_wsum = ola_plan(
+        padded_len, sr, eng.chunk_s, eng.overlap_s, eng.halo_s, align
+    )
     n_win = len(plans)
-    weights = np.ones((n_win, window), dtype=np.float32)
-    for k, p in enumerate(plans):
-        w = weights[k]
-        w[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False) + 1e-6
-        w[-ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False) + 1e-6
-        if p.start > 0:
-            w[:halo] = 0.0
-        if p.start + window < padded_len:
-            w[-halo:] = 0.0
-    wsum = np.full(padded_len, 1e-9, dtype=np.float32)
-    for k, p in enumerate(plans):
-        wsum[p.start:p.start + window] += weights[k]
-    inv_wsum = (1.0 / wsum).astype(np.float32)
 
     padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
     if bool(get_config("device_pipeline.upload_int16", True)):
         # mirror the single-device engine's int16 upload quantization so the
         # sp-sharded output matches it bit-for-bit
-        peak = max(1.0, float(np.abs(padded).max()))
-        padded = np.round(padded * (32767.0 / peak)).astype(np.int16).astype(np.float32)
-        padded = padded * np.float32(peak / 32767.0)
+        raw, scale = quantize_upload(padded)
+        padded = raw.astype(np.float32) * scale
     wins = np.stack([padded[p.start:p.start + window] for p in plans])
     starts = np.asarray([p.start for p in plans], dtype=np.int32)
 
@@ -163,12 +160,6 @@ def separate_track_sp_sharded(
         wins = np.concatenate([wins, np.zeros((pad_w, window), np.float32)])
         weights = np.concatenate([weights, np.zeros((pad_w, window), np.float32)])
         starts = np.concatenate([starts, np.zeros(pad_w, np.int32)])
-
-    bk = make_backend(
-        backend or str(get_config("enhanced_separation.backend", "spectral")), sr
-    )
-    if not hasattr(bk, "separate_windows_fn"):
-        raise ValueError(f"backend {bk.name!r} has no batched windows path")
 
     win_spec = P(axes)          # window axis sharded over every mesh axis
     rep_spec = P()

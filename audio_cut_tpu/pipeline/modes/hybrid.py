@@ -57,7 +57,9 @@ def process_hybrid_mdd(
 
     audio = splitter._load(input_path)
     duration = len(audio) / float(sr)
-    sep = splitter.separator.separate_for_detection(audio)
+    # hybrid never exports the instrumental: keep both stems device-resident
+    # so vocal_host() stays lazy (ADVICE r2)
+    sep = splitter.separator.separate_for_detection(audio, need_instrumental=False)
 
     def vocal_host() -> np.ndarray:
         # lazy host stem: only fallback paths below ever download it

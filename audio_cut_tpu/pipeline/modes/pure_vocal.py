@@ -122,8 +122,11 @@ def process_pure_vocal_split(
             except Exception as exc:
                 logger.warning("device VAD failed (%s); using host waveform path", exc)
     if vad is None:
+        # envelope-only when the bundle supplies it: EnergyGateDetector needs
+        # no waveform then, so the stem stays device-resident (ADVICE r2)
+        rms_env = bundle.vocal_rms_fine if bundle is not None else None
         vad = vad_detector.detect(
-            vocal_host(), rms_env=bundle.vocal_rms_fine if bundle else None
+            None if rms_env is not None else vocal_host(), rms_env=rms_env
         )
     vad_backend = "conv" if not isinstance(vad_detector, EnergyGateDetector) else "energy_gate"
     acfg = get_config("v2_mdd.advanced_vad", {}) or {}
@@ -261,6 +264,18 @@ def process_pure_vocal_split(
         plan_with_shifts = apply_guard_shift_metadata(vres.plan, refine_result.adjustments)
         boundary_detection["planner"] = dict(plan_with_shifts.metadata)
 
+    # ASR priors shared by layout rescue scoring AND the local valley refine
+    # (reference passes protected_intervals_s into both, :547-585, :619-629)
+    word_intervals = None
+    asr_boundaries = None
+    timeline = getattr(vres, "timeline", None) if vres is not None else None
+    if timeline is not None and getattr(timeline, "words", None):
+        word_intervals = [(w.start_s, w.end_s) for w in timeline.words]
+        asr_boundaries = sorted({
+            *(s.start_s for s in timeline.sentences),
+            *(s.end_s for s in timeline.sentences),
+        })
+
     # -- layout refinement ------------------------------------------------------
     layout_cfg = get_config("v2_mdd.segment_layout", {}) or {}
     layout_applied = False
@@ -287,17 +302,6 @@ def process_pure_vocal_split(
             act_rms=bundle.act_rms if bundle else None, n_samples=len(audio),
         )
         segment_kinds = ["human" if f else "music" for f in pre_flags]
-        # ASR priors for rescue-split scoring (reference :547-585 passes the
-        # vpbd_asr word intervals + boundary times into layout)
-        word_intervals = None
-        asr_boundaries = None
-        timeline = getattr(vres, "timeline", None) if vres is not None else None
-        if timeline is not None and getattr(timeline, "words", None):
-            word_intervals = [(w.start_s, w.end_s) for w in timeline.words]
-            asr_boundaries = sorted({
-                *(s.start_s for s in timeline.sentences),
-                *(s.end_s for s in timeline.sentences),
-            })
         lres = refine_layout(
             cut_times,
             duration,
@@ -322,6 +326,11 @@ def process_pure_vocal_split(
             min_drop_db=float(lbr.get("min_drop_db", 5.0)),
             db_grid=bundle.mix_db_refine if bundle else None,
             db_stride=bundle.db_stride if bundle else 1,
+            # protect recognised words: a refined position must not move a
+            # boundary (incl. just-restored ones) back inside a word
+            # (reference _refine_boundaries_local_valley protected_intervals_s,
+            # seamless_splitter.py:619-629; ADVICE r2)
+            word_intervals=word_intervals,
         )
 
     # -- classification + weak-tail merge -------------------------------------------
@@ -556,13 +565,28 @@ def _local_valley_refine(
     min_drop_db: float,
     db_grid: Optional[np.ndarray] = None,
     db_stride: int = 1,
+    word_intervals: Optional[List[tuple]] = None,
 ) -> List[float]:
     """Move each cut to a nearby strictly-quieter local valley.
 
-    Parity: reference seamless_splitter.py:2613-2680.
+    Parity: reference seamless_splitter.py:2613-2680. When ``word_intervals``
+    (recognised ASR words) is given, a refined position that lands STRICTLY
+    inside a word is rejected and the original boundary kept.
     """
     if not cut_times:
         return cut_times
+
+    word_starts = word_ends = None
+    if word_intervals:
+        iv = sorted(word_intervals)
+        word_starts = np.asarray([a for a, _ in iv])
+        word_ends = np.asarray([b for _, b in iv])
+
+    def _inside_word(t: float) -> bool:
+        if word_starts is None:
+            return False
+        k = int(np.searchsorted(word_starts, t, side="right")) - 1
+        return k >= 0 and word_starts[k] < t < word_ends[k]
     if db_grid is not None:
         env_db = np.asarray(db_grid)
         grid_sr = sr / float(db_stride)
@@ -583,8 +607,9 @@ def _local_valley_refine(
         lo = max(0, idx - radius)
         hi = min(n, idx + radius)
         best = int(np.argmin(env_db[lo:hi])) + lo
-        if env_db[idx] - env_db[best] >= min_drop_db:
-            out.append(best / grid_sr)
+        t_best = best / grid_sr
+        if env_db[idx] - env_db[best] >= min_drop_db and not _inside_word(t_best):
+            out.append(t_best)
         else:
             out.append(t)
     return sorted(out)

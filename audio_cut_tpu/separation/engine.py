@@ -45,6 +45,56 @@ class ChunkPlan:
     effective_end: int
 
 
+def quantize_upload(padded: np.ndarray):
+    """(raw, scale) for the int16 host->device upload.
+
+    Quantizes at the signal's ACTUAL peak (guarded against near-silence) so
+    the ~90 dB quantization SNR holds for quiet tracks too — normalizing only
+    when peak > 1 left a -40 dBFS input with ~50 dB SNR (ADVICE r2).
+    """
+    peak = max(float(np.abs(padded).max()), 1e-4)
+    raw = np.round(padded * (32767.0 / peak)).astype(np.int16)
+    return raw, np.float32(peak / 32767.0)
+
+
+def ola_plan(
+    padded_len: int,
+    sr: int,
+    chunk_s: float,
+    overlap_s: float,
+    halo_s: float,
+    align: int,
+):
+    """Shared whole-track OLA plan: (plans, window, weights, inv_wsum).
+
+    ``weights`` is the per-window [n, window] cross-fade/halo mask and
+    ``inv_wsum`` the [padded_len] normalization curve. Single source of truth
+    for the device-OLA program, the fused single program, and the sp-sharded
+    serving path — they must agree bit-for-bit.
+    """
+    plans, window = chunk_schedule(padded_len, sr, chunk_s, overlap_s, halo_s, align)
+    halo = int(round(halo_s * sr))
+    ramp = max(1, int(round((overlap_s - 2 * halo_s) * sr)))
+    weights = np.ones((len(plans), window), dtype=np.float32)
+    for k, p in enumerate(plans):
+        w = weights[k]
+        w[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False) + 1e-6
+        w[-ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False) + 1e-6
+        # halo samples contribute nothing (recomputed by the neighbour);
+        # halo == 0 means the backend wants pure cross-fade (w[-0:] would
+        # wrongly zero the WHOLE window — guard it)
+        if halo > 0:
+            if p.start > 0:
+                w[:halo] = 0.0
+            if p.start + window < padded_len:
+                w[-halo:] = 0.0
+    wsum = np.full(padded_len, 1e-9, dtype=np.float32)
+    for k, p in enumerate(plans):
+        wsum[p.start:p.start + window] += weights[k]
+    inv_wsum = (1.0 / wsum).astype(np.float32)
+    return plans, window, weights, inv_wsum
+
+
 def chunk_schedule(
     total_samples: int,
     sr: int,
@@ -175,16 +225,27 @@ class SeparationResult:
 class SeparationEngine:
     """Orchestrates backend windows over the chunk schedule."""
 
-    def __init__(self, sample_rate: int, backend: Optional[str] = None) -> None:
+    def __init__(self, sample_rate: int, backend: Optional[Any] = None) -> None:
         self.sample_rate = int(sample_rate)
-        cfg_backend = backend or str(get_config("enhanced_separation.backend", "spectral"))
         self.enable_fallback = bool(get_config("enhanced_separation.enable_fallback", True))
-        self.chunk_s = float(get_config("device_pipeline.chunk_seconds", 10.0))
-        self.overlap_s = float(get_config("device_pipeline.overlap_seconds", 2.5))
-        self.halo_s = float(get_config("device_pipeline.halo_seconds", 0.5))
-        self.align = int(get_config("device_pipeline.align_hop", 4096))
-        self._backend = None
-        self._backend_name = cfg_backend
+        self._cfg_geometry = (
+            float(get_config("device_pipeline.chunk_seconds", 10.0)),
+            float(get_config("device_pipeline.overlap_seconds", 2.5)),
+            float(get_config("device_pipeline.halo_seconds", 0.5)),
+            int(get_config("device_pipeline.align_hop", 4096)),
+        )
+        self.chunk_s, self.overlap_s, self.halo_s, self.align = self._cfg_geometry
+        if backend is not None and not isinstance(backend, str):
+            # a pre-built backend instance (e.g. a backend's own whole-track
+            # separate() reusing the engine OLA machinery)
+            self._backend = backend
+            self._backend_name = getattr(backend, "name", type(backend).__name__)
+        else:
+            self._backend = None
+            self._backend_name = backend or str(
+                get_config("enhanced_separation.backend", "spectral")
+            )
+        self._geometry_from: Optional[Any] = None
 
     @property
     def backend(self):
@@ -204,6 +265,31 @@ class SeparationEngine:
                 self._backend = make_backend("spectral", self.sample_rate)
         return self._backend
 
+    def _ensure_geometry(self) -> None:
+        """Adopt the backend's native chunk geometry when it declares one.
+
+        Neural mask nets have a fixed model window ((dim_t-1)*hop samples);
+        scheduling engine windows AT that size turns the whole-track OLA into
+        one batched model forward with only edge-overlap waste (~6%), instead
+        of re-tiling generic 10 s windows into model tiles (~2.4x waste).
+        The spectral backend keeps the config-driven 10/2.5/0.5 s schedule.
+        """
+        bk = self.backend  # may itself fall back to spectral
+        if self._geometry_from is bk:
+            return
+        geom_fn = getattr(bk, "engine_geometry", None)
+        if geom_fn is not None:
+            g = geom_fn()
+            self.chunk_s = float(g["chunk_s"])
+            self.overlap_s = float(g["overlap_s"])
+            self.halo_s = float(g["halo_s"])
+            self.align = int(g["align"])
+        else:
+            # backend switched at runtime (e.g. neural -> spectral fallback):
+            # restore the config-driven schedule
+            self.chunk_s, self.overlap_s, self.halo_s, self.align = self._cfg_geometry
+        self._geometry_from = bk
+
     # -- full-track path (small tracks / equivalence reference) -----------
 
     def separate_full(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -214,6 +300,7 @@ class SeparationEngine:
     def separate_chunked(self, audio: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
         import jax.numpy as jnp
 
+        self._ensure_geometry()
         audio = np.asarray(audio, dtype=np.float32)
         n = audio.shape[-1]
         plans, window = chunk_schedule(
@@ -234,12 +321,15 @@ class SeparationEngine:
         t0 = time.time()
         pending = []  # (plan, device vocal, device inst) — drain with 1 in flight
         padded = audio if n >= window else np.pad(audio, (0, window - n))
+        platform = "unknown"
 
         for plan in plans:
             seg = padded[plan.start:plan.start + window]
             if seg.shape[-1] < window:
                 seg = np.pad(seg, (0, window - seg.shape[-1]))
             v_dev, i_dev = self.backend.separate_window(jnp.asarray(seg))
+            if plan.index == 0:
+                platform = _platform_of(v_dev)
             pending.append((plan, v_dev, i_dev))
             if len(pending) > 1:
                 self._accumulate(pending.pop(0), window, n, base_w, halo, vocal, inst, weight)
@@ -256,7 +346,7 @@ class SeparationEngine:
             "gpu_pipeline_chunks": len(plans),
             "gpu_pipeline_window_samples": window,
             "gpu_pipeline_total_ms": round((time.time() - t0) * 1000.0, 3),
-            "gpu_pipeline_device": "tpu",
+            "gpu_pipeline_device": platform,
         }
         return (vocal / w).astype(np.float32), (inst / w).astype(np.float32), meta
 
@@ -266,11 +356,13 @@ class SeparationEngine:
         v = np.asarray(v_dev, dtype=np.float64)
         i = np.asarray(i_dev, dtype=np.float64)
         w = base_w.copy()
-        # halo samples contribute nothing (recomputed by neighbours)
-        if plan.start > 0:
-            w[:halo] = 0.0
-        if plan.end < n:
-            w[-halo:] = 0.0
+        # halo samples contribute nothing (recomputed by neighbours);
+        # halo == 0: pure cross-fade, and w[-0:] would zero the whole window
+        if halo > 0:
+            if plan.start > 0:
+                w[:halo] = 0.0
+            if plan.end < n:
+                w[-halo:] = 0.0
         lo, hi = plan.start, min(plan.start + window, n)
         span = hi - lo
         vocal[lo:hi] += v[:span] * w[:span]
@@ -286,27 +378,12 @@ class SeparationEngine:
         import jax
         import jax.numpy as jnp
 
-        plans, window = chunk_schedule(
+        self._ensure_geometry()
+        plans, window, weights, inv_wsum = ola_plan(
             padded_len, self.sample_rate, self.chunk_s, self.overlap_s, self.halo_s, self.align
         )
-        halo = int(round(self.halo_s * self.sample_rate))
-        ramp = max(1, int(round((self.overlap_s - 2 * self.halo_s) * self.sample_rate)))
         starts = [p.start for p in plans]
         n = len(plans)
-
-        weights = np.ones((n, window), dtype=np.float32)
-        for k, p in enumerate(plans):
-            w = weights[k]
-            w[:ramp] = np.linspace(0.0, 1.0, ramp, endpoint=False) + 1e-6
-            w[-ramp:] = np.linspace(1.0, 0.0, ramp, endpoint=False) + 1e-6
-            if p.start > 0:
-                w[:halo] = 0.0
-            if p.start + window < padded_len:
-                w[-halo:] = 0.0
-        wsum = np.full(padded_len, 1e-9, dtype=np.float32)
-        for k, s in enumerate(starts):
-            wsum[s:s + window] += weights[k]
-        inv_wsum = (1.0 / wsum).astype(np.float32)
 
         backend = self.backend
 
@@ -342,6 +419,7 @@ class SeparationEngine:
         """
         import jax
 
+        self._ensure_geometry()
         # module-level cache: compiled programs must outlive the engine
         # instance (the API builds a fresh splitter/engine per call)
         key = (self._backend_name, id(self.backend), self.sample_rate, padded_len,
@@ -362,6 +440,7 @@ class SeparationEngine:
 
         audio = np.asarray(audio, dtype=np.float32)
         n = audio.shape[-1]
+        self._ensure_geometry()
         bucket = int(round(PAD_BUCKET_S * self.sample_rate))
         padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
         padded_len = ((padded_len + self.align - 1) // self.align) * self.align
@@ -374,9 +453,7 @@ class SeparationEngine:
         if bool(get_config("device_pipeline.upload_int16", True)):
             # -90 dB quantization vs half the upload bytes over the tunnel;
             # splice reconstruction is untouched (host slicing of the input)
-            peak = max(1.0, float(np.abs(padded).max()))
-            raw = np.round(padded * (32767.0 / peak)).astype(np.int16)
-            scale = np.float32(peak / 32767.0)
+            raw, scale = quantize_upload(padded)
         else:
             raw = padded
             scale = np.float32(1.0)

@@ -93,6 +93,9 @@ def separate_and_detect_fused(
     if not hasattr(engine.backend, "separate_windows_fn"):
         raise ValueError(f"backend {engine._backend_name!r} has no batched windows path")
 
+    from audio_cut_tpu.separation.engine import quantize_upload
+
+    engine._ensure_geometry()  # backend-native chunk schedule (neural windows)
     audio = np.asarray(audio, dtype=np.float32)
     n = audio.shape[-1]
     sr = engine.sample_rate
@@ -105,9 +108,7 @@ def separate_and_detect_fused(
     t0 = time.time()
     padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
     if bool(get_config("device_pipeline.upload_int16", True)):
-        peak = max(1.0, float(np.abs(padded).max()))
-        raw = np.round(padded * (32767.0 / peak)).astype(np.int16)
-        scale = np.float32(peak / 32767.0)
+        raw, scale = quantize_upload(padded)
     else:
         raw = padded
         scale = np.float32(1.0)

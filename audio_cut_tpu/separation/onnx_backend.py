@@ -98,9 +98,26 @@ class OnnxSeparatorBackend:
             output = "vocals" if "vocal" in Path(path).name.lower() else "instrumental"
         self.output = output
         self.model_path = path
+        self.map_group = max(1, int(cfg.get("map_group", 4)))
         self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
         logger.info("ONNX separator: %s (output=%s, window=%d samples)",
                     path, output, self.window_samples)
+
+    def engine_geometry(self):
+        """Native chunk schedule: engine windows == model windows, halo =
+        n_fft/2 edge trim + short cross-fade (the reference's trim=n_fft/2
+        margin, backends.py:306-330, recast as engine halo/overlap)."""
+        sr = float(self.sample_rate)
+        target = self.window_samples
+        halo = self.n_fft // 2
+        ramp = 8 * self.hop
+        overlap = min(2 * halo + ramp, (target // (2 * self.hop)) * self.hop)
+        return {
+            "chunk_s": target / sr,
+            "overlap_s": overlap / sr,
+            "halo_s": min(halo, overlap // 3) / sr,
+            "align": self.hop,
+        }
 
     # -- fused STFT -> mask net -> iSTFT over a batch of mono windows --------
 
@@ -135,6 +152,36 @@ class OnnxSeparatorBackend:
         return rest, stem  # model emitted the instrumental; vocal by subtraction
 
     # -- engine seam ---------------------------------------------------------
+
+    def _forward_batch(self, params, windows: jnp.ndarray) -> jnp.ndarray:
+        """Sub-batched model forward ([n, W] -> [n, W] model stem)."""
+        n = windows.shape[0]
+        length = int(windows.shape[-1])
+        group = min(self.map_group, n)
+        pad_n = (-n) % group
+        wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
+        y = jax.lax.map(
+            functools.partial(self._forward_windows, params),
+            wp.reshape(-1, group, length),
+        )
+        return y.reshape(-1, length)[:n]
+
+    def separate_windows_fn(self, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Batched windows path for the device-OLA / fused / sp engines."""
+        length = int(windows.shape[-1])
+        if length == self.window_samples:
+            stem = self._forward_batch(self.params, windows)
+        else:
+            from audio_cut_tpu.separation.tiling import tiled_forward_batch
+
+            stem = tiled_forward_batch(
+                functools.partial(self._forward_batch, self.params),
+                self.window_samples, windows, length,
+            )
+        rest = windows[:, :length] - stem
+        if self.output == "vocals":
+            return stem, rest
+        return rest, stem
 
     def separate_window(self, window: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self._tiled(self.params, window, int(window.shape[-1]))

@@ -73,3 +73,48 @@ def tiled_separate(
     reference backends.py:198-208 output_type + complement-by-subtraction)."""
     vocal = tiled_forward(forward, window_samples, x, length)
     return vocal, x[:length] - vocal
+
+
+def tiled_forward_batch(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    window_samples: int,
+    xs: jnp.ndarray,
+    length: int,
+) -> jnp.ndarray:
+    """Batched tiled_forward: ``xs`` [N, S] -> [N, length], with every model
+    tile of every row fused into ONE batched forward of shape
+    [N*tiles, window_samples]. Used when an engine window batch must run
+    through a model whose native window differs from the engine window.
+    """
+    target = int(window_samples)
+    stride = target // 2
+    n_rows = xs.shape[0]
+    n = max(1, -(-(max(length - target, 0)) // stride) + 1)
+    padded_len = (n - 1) * stride + target
+    xp = jnp.pad(xs, ((0, 0), (0, padded_len - xs.shape[-1])))
+
+    cols = [
+        jax.lax.slice_in_dim(xp, r * stride, r * stride + n * stride, axis=-1)
+        .reshape(n_rows, n, stride)
+        for r in range(2)
+    ]
+    windows = jnp.concatenate(cols, axis=-1)            # [N, n, target]
+    y = forward(windows.reshape(n_rows * n, target)).reshape(n_rows, n, target)
+
+    weight = jnp.concatenate([
+        jnp.linspace(0.0, 1.0, stride, endpoint=False) + 1e-3,
+        jnp.linspace(1.0, 0.0, stride, endpoint=False) + 1e-3,
+    ]).astype(jnp.float32)
+    weighted = y * weight[None, None, :]
+    acc = jnp.zeros((n_rows, padded_len), jnp.float32)
+    wacc = jnp.zeros((n_rows, padded_len), jnp.float32)
+    blocks = weighted.reshape(n_rows, n, 2, stride)
+    wblocks = jnp.broadcast_to(weight.reshape(1, 1, 2, stride), (n_rows, n, 2, stride))
+    for r in range(2):
+        flat = blocks[:, :, r, :].reshape(n_rows, n * stride)
+        wflat = wblocks[:, :, r, :].reshape(n_rows, n * stride)
+        cur = jax.lax.dynamic_slice_in_dim(acc, r * stride, n * stride, axis=-1)
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, cur + flat, r * stride, axis=-1)
+        wcur = jax.lax.dynamic_slice_in_dim(wacc, r * stride, n * stride, axis=-1)
+        wacc = jax.lax.dynamic_update_slice_in_dim(wacc, wcur + wflat, r * stride, axis=-1)
+    return (acc / jnp.maximum(wacc, 1e-6))[:, :length]
