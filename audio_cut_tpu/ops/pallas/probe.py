@@ -1,16 +1,23 @@
 """Runtime probe: can this process safely run Mosaic (Pallas) kernels?
 
-Round-1's tunnel routed Mosaic compiles through a remote helper that HUNG;
-by round 2 the helper returns proper compile results (verified live: both
-production kernels compile, run, and match jnp to <1e-6 on the tunnel chip),
-so the policy is now probe-everywhere, decided once and cached on disk per
-(jax version, device kind):
+History: round-1's tunnel routed Mosaic compiles through a remote helper that
+HUNG; round 2 briefly saw it return results; round 3 reproduced the hang live
+(a trivial 8x128 kernel compile sat >8 min with no error). So the policy is
+probe-everywhere, decided once per (jax version, device kind) and cached on
+disk WITH the reason, not just a bool:
 
 * ``AUDIO_CUT_TPU_PALLAS=1`` forces ON, ``=0`` forces OFF (operator override).
+* ``AUDIO_CUT_TPU_PALLAS_REPROBE=1`` discards the cached verdict first.
 * Non-TPU backends: OFF (kernels are TPU-specific; jnp path is identical).
-* Any TPU (direct or relay): compile+run a trivial kernel in a SUBPROCESS
-  with a generous timeout; the verdict persists on disk so the one risky
-  compile happens once per environment, not per process.
+* Any TPU (direct or relay): compile+run a trivial kernel in a SUBPROCESS.
+  The child carries its OWN deadline (SIGALRM -> exception -> clean exit) so
+  the hung-compile case still tears the TPU client down properly — the
+  parent NEVER kills a TPU-attached child (a killed client wedges the shared
+  tunnel for minutes for every later attach; round-2 ops note). The parent
+  timeout is a last resort an order of magnitude beyond the child's.
+
+Verdict cache format (per key): {"ok": bool, "reason": str, "at": iso8601}.
+Legacy bool entries from round 2 are still readable.
 """
 
 from __future__ import annotations
@@ -24,7 +31,18 @@ from typing import Optional
 
 _VERDICT: Optional[bool] = None
 
-_PROBE_CODE = """
+CHILD_DEADLINE_S = 90
+PARENT_LAST_RESORT_S = 900
+
+_PROBE_CODE = f"""
+import signal, sys
+
+def _deadline(signum, frame):
+    raise TimeoutError("mosaic compile exceeded {CHILD_DEADLINE_S}s")
+
+signal.signal(signal.SIGALRM, _deadline)
+signal.alarm({CHILD_DEADLINE_S})
+
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -32,15 +50,24 @@ from jax.experimental.pallas import tpu as pltpu
 def k(x_ref, o_ref):
     o_ref[:, :] = x_ref[:, :] * 2.0
 
-x = jnp.ones((8, 128), jnp.float32)
-y = pl.pallas_call(
-    k,
-    out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-)(x)
-assert float(y[0, 0]) == 2.0
-print("PALLAS_OK")
+try:
+    x = jnp.ones((8, 128), jnp.float32)
+    y = pl.pallas_call(
+        k,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x)
+    assert float(y[0, 0]) == 2.0
+    signal.alarm(0)
+    print("PALLAS_OK")
+except TimeoutError as exc:
+    # clean exit: the TPU client tears down normally, the tunnel stays healthy
+    print("PALLAS_TIMEOUT", exc)
+    sys.exit(0)
+except Exception as exc:  # compile/runtime error — report, exit cleanly
+    print("PALLAS_ERROR", type(exc).__name__, str(exc)[:300].replace(chr(10), " "))
+    sys.exit(0)
 """
 
 
@@ -57,6 +84,45 @@ def _cache_key() -> str:
     except Exception:
         kind = "unknown"
     return f"{jax.__version__}/{kind}"
+
+
+def _write_verdict(data: dict, key: str, ok: bool, reason: str) -> None:
+    import datetime
+
+    data[key] = {
+        "ok": ok,
+        "reason": reason,
+        "at": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
+    }
+    cache = _cache_path()
+    try:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        cache.write_text(json.dumps(data, indent=1))
+    except OSError:
+        pass
+
+
+def _run_probe() -> tuple:
+    """(ok, reason). Child self-deadlines and always exits cleanly; the
+    parent timeout is a last resort (never expected to fire)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=PARENT_LAST_RESORT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False, (
+            f"probe child missed its own {CHILD_DEADLINE_S}s deadline and was "
+            f"killed by the parent after {PARENT_LAST_RESORT_S}s (tunnel may "
+            "be degraded for the next few minutes)"
+        )
+    out = proc.stdout or ""
+    if "PALLAS_OK" in out:
+        return True, "probe kernel compiled and ran"
+    for line in out.splitlines():
+        if line.startswith(("PALLAS_TIMEOUT", "PALLAS_ERROR")):
+            return False, line.strip()
+    return False, f"probe exited rc={proc.returncode}: {(proc.stderr or '')[-300:]}"
 
 
 def pallas_supported() -> bool:
@@ -76,29 +142,22 @@ def pallas_supported() -> bool:
         _VERDICT = False
         return _VERDICT
 
-    # probe once per environment, cache the verdict on disk
     cache = _cache_path()
     key = _cache_key()
     try:
         data = json.loads(cache.read_text())
-        if key in data:
-            _VERDICT = bool(data[key])
-            return _VERDICT
     except (OSError, json.JSONDecodeError):
         data = {}
+    if not os.environ.get("AUDIO_CUT_TPU_PALLAS_REPROBE"):
+        entry = data.get(key)
+        if isinstance(entry, dict):
+            _VERDICT = bool(entry.get("ok"))
+            return _VERDICT
+        if isinstance(entry, bool):  # legacy round-2 format
+            _VERDICT = entry
+            return _VERDICT
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE], capture_output=True, timeout=120
-        )
-        verdict = b"PALLAS_OK" in proc.stdout
-    except subprocess.TimeoutExpired:
-        verdict = False
-    data[key] = verdict
-    try:
-        cache.parent.mkdir(parents=True, exist_ok=True)
-        cache.write_text(json.dumps(data))
-    except OSError:
-        pass
-    _VERDICT = verdict
+    ok, reason = _run_probe()
+    _write_verdict(data, key, ok, reason)
+    _VERDICT = ok
     return _VERDICT

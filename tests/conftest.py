@@ -29,6 +29,17 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """model-marked tier auto-skips unless opted in (reference convention:
+    pytest.ini markers + VSS_RUN_* env gates, reference conftest.py:55-85)."""
+    if os.environ.get("AUDIO_CUT_TPU_RUN_MODEL") or config.getoption("-m", default=""):
+        return
+    skip = pytest.mark.skip(reason="model tier: set AUDIO_CUT_TPU_RUN_MODEL=1 or -m model")
+    for item in items:
+        if "model" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
