@@ -108,6 +108,12 @@ class ConvVAD:
             self.params = load_vad_params(self.net, checkpoint)
             self.trained = True
         else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ConvVAD built with RANDOM weights (no checkpoint given) — "
+                "use build_vad() for the packaged production checkpoint"
+            )
             dummy = jnp.zeros((1, LENGTH_BUCKET), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(0), dummy)["params"]
             self.trained = False

@@ -127,13 +127,56 @@ def synth_pair(rng: np.random.Generator, n: int) -> Tuple[np.ndarray, np.ndarray
     return mix.astype(np.float32), vocal.astype(np.float32)
 
 
-def synth_batches(window: int, batch: int, rng: np.random.Generator):
+def _channel_reverb(rng: np.random.Generator, x: np.ndarray) -> np.ndarray:
+    """Exponential-decay noise reverb (FFT convolution), unit-peak-preserving."""
+    ir_n = int(rng.uniform(0.1, 0.4) * SR)
+    ir = rng.standard_normal(ir_n) * np.exp(-np.arange(ir_n) / (rng.uniform(0.04, 0.1) * SR))
+    ir[0] = 1.0
+    n = x.size
+    m = 1 << int(np.ceil(np.log2(n + ir_n)))
+    y = np.fft.irfft(np.fft.rfft(x, m) * np.fft.rfft(ir, m), m)[:n]
+    y = y / max(1e-9, float(np.abs(y).max())) * float(np.abs(x).max())
+    wet = rng.uniform(0.08, 0.35)
+    return ((1 - wet) * x + wet * y).astype(np.float32)
+
+
+def augment_pair(
+    rng: np.random.Generator, mix: np.ndarray, vocal: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Channel-effect augmentation for training pairs: per-stem reverb, bus
+    saturation (half the nonlinearity attributed to the vocal target, the
+    realistic mastering convention), noise floor. Raises robustness to the
+    production conditions the dry generator never produces; the OOD eval
+    family (training/eval_data.py) stays eval-only — its novelty is in the
+    TIMBRES, which this augmentation does not touch."""
+    inst = mix - vocal
+    if rng.random() < 0.7:
+        vocal = _channel_reverb(rng, vocal)
+        inst = _channel_reverb(rng, inst)
+    mix = vocal + inst
+    if rng.random() < 0.5:
+        drive = rng.uniform(1.0, 2.5)
+        sat = np.tanh(mix * drive) / drive
+        vocal = vocal + (sat - mix) * 0.5
+        mix = sat
+    if rng.random() < 0.5:
+        mix = mix + (rng.standard_normal(mix.size) * rng.uniform(0.001, 0.006)).astype(np.float32)
+    peak = max(float(np.abs(mix).max()), 1e-6)
+    if peak > 1.0:
+        mix, vocal = mix / peak, vocal / peak
+    return mix.astype(np.float32), vocal.astype(np.float32)
+
+
+def synth_batches(window: int, batch: int, rng: np.random.Generator,
+                  augment: bool = False):
     """Infinite iterator of (mix [B, S], vocal [B, S]) training batches."""
     while True:
         mixes = np.empty((batch, window), np.float32)
         vocals = np.empty((batch, window), np.float32)
         for b in range(batch):
             mixes[b], vocals[b] = synth_pair(rng, window)
+            if augment:
+                mixes[b], vocals[b] = augment_pair(rng, mixes[b], vocals[b])
         yield mixes, vocals
 
 

@@ -134,6 +134,9 @@ def main() -> int:
                          "slower than this BEFORE paying the train-step "
                          "compile (degraded tunnel attach); rerun in a fresh "
                          "process to draw a new attach")
+    ap.add_argument("--augment", action="store_true",
+                    help="channel-effect augmentation (reverb/saturation/"
+                         "noise) on the bootstrap generator's pairs")
     ap.add_argument("--resume", default=None,
                     help="initialise params from an existing checkpoint "
                          "('packaged' or a path) for a fine-tuning leg; the "
@@ -198,7 +201,8 @@ def main() -> int:
     if args.bootstrap:
         from audio_cut_tpu.training.sep_data import synth_batches as rich_batches
 
-        batches = rich_batches(sep.window_samples, args.batch, rng)
+        batches = rich_batches(sep.window_samples, args.batch, rng,
+                               augment=args.augment)
     elif args.synthetic or not args.data_dir:
         batches = synthetic_batches(sep.window_samples, args.batch, rng)
     else:

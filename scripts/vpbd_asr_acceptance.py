@@ -24,9 +24,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 GATES = {
-    "duration_band_rate": 0.70,   # segments inside the configured band
-    "cut_inside_word_rate": 0.15,  # cuts landing inside ASR words (lower=better)
-    "natural_pause_rate": 0.80,   # cuts in locally quiet zones
+    "duration_band_rate": 0.90,   # >=90% segments in band (reference PRD.md:41)
+    "cut_inside_word_rate": 0.10,  # cuts landing inside ASR words (lower=better)
+    "natural_pause_rate": 0.80,   # >=80% cuts at natural pauses (PRD.md:42)
     "lyrics_used_rate": 1.0,      # songs where the ASR timeline actually loaded
     "precision_guard_rate": 1.0,  # guard avg<=150ms / p95<=220ms
 }

@@ -25,6 +25,15 @@ if not os.environ.get("AUDIO_CUT_TPU_TEST_TPU"):
     except Exception:
         pass  # older knob; XLA_FLAGS fallback above covers it
 
+# The production default separator is the packaged ConvTDF (full n_fft-6144
+# geometry) — far too slow for the 1-core CPU test loop. Pin the model-free
+# spectral tier through the env config layer (below runtime overrides, so
+# set_runtime_config/reset_runtime_config in tests behave normally); the
+# neural fast path has dedicated coverage in test_neural_fast_path.py and
+# the model-marked tier. Mirrors the reference's test strategy (its suite
+# never runs real MDX23 either; fakes + capability markers, SURVEY §4).
+os.environ.setdefault("VSS__enhanced_separation__backend", "spectral")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
