@@ -174,6 +174,9 @@ def _config_key(name: str) -> Tuple:
     if name == "convtdf":
         cfg = get_config("enhanced_separation.convtdf", {}) or {}
         return tuple(sorted((k, str(v)) for k, v in cfg.items()))
+    if name == "waveunet":
+        cfg = get_config("enhanced_separation.waveunet", {}) or {}
+        return tuple(sorted((k, str(v)) for k, v in cfg.items()))
     if name == "onnx":
         cfg = get_config("enhanced_separation.onnx", {}) or {}
         import os
@@ -194,6 +197,10 @@ def make_backend(name: str, sample_rate: int):
         from audio_cut_tpu.models.convtdf import ConvTDFBackend
 
         backend = ConvTDFBackend(sample_rate)
+    elif name == "waveunet":
+        from audio_cut_tpu.models.waveunet import WaveUNetBackend
+
+        backend = WaveUNetBackend(sample_rate)
     elif name == "onnx":
         from audio_cut_tpu.separation.onnx_backend import OnnxSeparatorBackend
 

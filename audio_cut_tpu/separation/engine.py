@@ -91,6 +91,14 @@ def ola_plan(
     wsum = np.full(padded_len, 1e-9, dtype=np.float32)
     for k, p in enumerate(plans):
         wsum[p.start:p.start + window] += weights[k]
+    # coverage invariant: every sample must receive weight from some window
+    # (track edges only see a ramp tail ~1e-6 — still far above the 1e-9
+    # floor). A violation means overlap < 2*halo: silent zeros in the output.
+    if float(wsum.min()) < 1e-7:
+        raise ValueError(
+            f"OLA plan leaves uncovered samples (min weight {wsum.min():.2e}); "
+            f"geometry overlap={overlap_s}s halo={halo_s}s window={window}"
+        )
     inv_wsum = (1.0 / wsum).astype(np.float32)
     return plans, window, weights, inv_wsum
 
@@ -247,6 +255,18 @@ class SeparationEngine:
             )
         self._geometry_from: Optional[Any] = None
 
+    def _fallback_chain(self) -> List[str]:
+        """Backends to try after the current one fails. Reference semantics:
+        MDX23 -> Demucs -> CPU (backends.py:90,409, _resolve_fallback_backend)
+        maps here to primary -> enhanced_separation.fallback_backend ->
+        spectral (the always-available model-free tier)."""
+        fb = str(get_config("enhanced_separation.fallback_backend", "spectral"))
+        out: List[str] = []
+        for name in (fb, "spectral"):
+            if name and name != self._backend_name and name not in out:
+                out.append(name)
+        return out
+
     @property
     def backend(self):
         if self._backend is None:
@@ -257,12 +277,19 @@ class SeparationEngine:
             except Exception as exc:
                 if not self.enable_fallback or self._backend_name == "spectral":
                     raise
-                logger.warning(
-                    "backend %r failed to load (%s); falling back to spectral",
-                    self._backend_name, exc,
-                )
-                self._backend_name = "spectral"
-                self._backend = make_backend("spectral", self.sample_rate)
+                for name in self._fallback_chain():
+                    logger.warning(
+                        "backend %r failed to load (%s); falling back to %r",
+                        self._backend_name, exc, name,
+                    )
+                    try:
+                        self._backend = make_backend(name, self.sample_rate)
+                        self._backend_name = name
+                        break
+                    except Exception as exc2:
+                        exc = exc2
+                else:
+                    raise
         return self._backend
 
     def _ensure_geometry(self) -> None:
@@ -513,15 +540,17 @@ class SeparationEngine:
             if not self.enable_fallback:
                 raise
             if self._backend_name != "spectral":
-                # runtime failure of the primary backend: fall back to the
-                # model-free spectral separator (reference Demucs-fallback
-                # semantics, enhanced_vocal_separator.py:177-188)
+                # runtime failure of the primary backend: advance down the
+                # fallback chain (reference MDX23 -> Demucs -> CPU semantics,
+                # enhanced_vocal_separator.py:177-188); the chain always ends
+                # at the model-free spectral tier, so this recursion is finite
+                nxt = self._fallback_chain()[0]
                 logger.error(
-                    "backend %r failed at runtime (%s); retrying with spectral",
-                    self._backend_name, exc,
+                    "backend %r failed at runtime (%s); retrying with %r",
+                    self._backend_name, exc, nxt,
                 )
                 self._backend = None
-                self._backend_name = "spectral"
+                self._backend_name = nxt
                 return self.separate_for_detection(audio, need_instrumental)
             # the spectral backend itself failed — a device-runtime error
             # (e.g. wedged tunnel mid-transfer) gets one backoff retry and a

@@ -1,0 +1,83 @@
+"""Training for waveform-domain separators (WaveUNet).
+
+Loss = waveform L1 + multi-resolution STFT magnitude L1 (the standard
+waveform-separator recipe — time-domain accuracy alone lets the net smear
+transients; the spectral terms anchor timbre at several analysis scales).
+Reuses the ConvTDF trainer's optimizer/sharding plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from audio_cut_tpu.models.waveunet import WaveUNetSeparator
+from audio_cut_tpu.ops.stft import stft
+from audio_cut_tpu.parallel.mesh import batch_sharding, param_shardings, replicated
+from audio_cut_tpu.training.trainer import TrainConfig, make_optimizer
+
+STFT_SCALES = ((512, 128), (2048, 512))
+
+
+def make_wave_loss_fn(sep: WaveUNetSeparator, cfg: TrainConfig):
+    def loss_fn(params: Any, mix: jnp.ndarray, vocal_target: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        length = mix.shape[-1]
+        pred, _ = sep.separate_fn(params, mix, length)
+        tgt = vocal_target[..., :length]
+        wave_l1 = jnp.mean(jnp.abs(pred - tgt))
+        spec_l1 = 0.0
+        for n_fft, hop in STFT_SCALES:
+            pm = jnp.abs(stft(pred, n_fft=n_fft, hop=hop))
+            tm = jnp.abs(stft(tgt, n_fft=n_fft, hop=hop))
+            spec_l1 = spec_l1 + jnp.mean(jnp.abs(pm - tm))
+        spec_l1 = spec_l1 / len(STFT_SCALES)
+        loss = cfg.wave_loss_weight * wave_l1 + cfg.spec_loss_weight * spec_l1
+        return loss, {"loss": loss, "spec_l1": spec_l1, "wave_l1": wave_l1}
+
+    return loss_fn
+
+
+class WaveTrainer:
+    """Same imperative shell as trainer.Trainer, wave-domain loss."""
+
+    def __init__(self, sep: WaveUNetSeparator, cfg: Optional[TrainConfig] = None,
+                 mesh: Optional[Mesh] = None, rng: Optional[jax.Array] = None):
+        self.sep = sep
+        self.cfg = cfg or TrainConfig()
+        self.mesh = mesh
+        self.optimizer = make_optimizer(self.cfg)
+        self.params = sep.init_params(rng if rng is not None else jax.random.PRNGKey(0))
+        if mesh is not None:
+            self.params = jax.device_put(self.params, param_shardings(mesh, self.params))
+        self.opt_state = self.optimizer.init(self.params)
+        loss_fn = make_wave_loss_fn(sep, self.cfg)
+
+        def step(params, opt_state, mix, vocal):
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, mix, vocal)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, metrics
+
+        if mesh is None:
+            self._step = jax.jit(step)
+        else:
+            data_sh = batch_sharding(mesh, shard_time=True)
+            self._step = jax.jit(step, in_shardings=(None, None, data_sh, data_sh),
+                                 out_shardings=(None, None, replicated(mesh)))
+        self.step_count = 0
+
+    def train_step(self, mix, vocal) -> Dict[str, float]:
+        self.params, self.opt_state, metrics = self._step(
+            self.params, self.opt_state, mix, vocal)
+        self.step_count += 1
+        return {k: float(v) for k, v in metrics.items()}
+
+    def save_checkpoint(self, path: str) -> None:
+        from audio_cut_tpu.training.trainer import Trainer
+
+        Trainer.save_checkpoint(self, path)  # same msgpack/orbax logic

@@ -89,6 +89,11 @@ BOOTSTRAP_GEOMETRY = dict(
     channels=16, depth=2, tdf_bottleneck=32,
 )
 
+# waveunet bootstrap: training window is SHORTER than the serving window
+# (fully convolutional over T — serving uses config window_samples 262144);
+# channels/depth are the packaged contract recorded in the sidecar
+WAVEUNET_GEOMETRY = dict(window_samples=65536, channels=24, depth=4)
+
 
 def evaluate_si_snr(sep, params, n_pairs: int = 6, seed: int = 1234):
     """Held-out synthetic eval: SI-SNR (dB) of the ConvTDF vocal estimate vs
@@ -137,6 +142,9 @@ def main() -> int:
     ap.add_argument("--augment", action="store_true",
                     help="channel-effect augmentation (reverb/saturation/"
                          "noise) on the bootstrap generator's pairs")
+    ap.add_argument("--family", choices=("convtdf", "waveunet"), default="convtdf",
+                    help="separator family: spectrogram mask net (default) "
+                         "or the Demucs-role waveform U-Net second tier")
     ap.add_argument("--resume", default=None,
                     help="initialise params from an existing checkpoint "
                          "('packaged' or a path) for a fine-tuning leg; the "
@@ -175,18 +183,34 @@ def main() -> int:
         if probe_s > args.probe_threshold_s:
             print("degraded attach — exiting rc=3; rerun in a fresh process", flush=True)
             return 3
-    if args.small:
+    if args.family == "waveunet":
+        from audio_cut_tpu.models.waveunet import WaveUNetSeparator
+        from audio_cut_tpu.training.wave_trainer import WaveTrainer
+
+        if args.small:
+            sep = WaveUNetSeparator(44100, window_samples=16384, channels=8, depth=3)
+        else:
+            sep = WaveUNetSeparator(44100, **WAVEUNET_GEOMETRY)
+        trainer = WaveTrainer(sep, TrainConfig(learning_rate=args.lr))
+    elif args.small:
         sep = ConvTDFSeparator(44100, n_fft=512, hop=128, dim_f=128, dim_t=32,
                                channels=8, depth=2, tdf_bottleneck=16)
+        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
     elif args.bootstrap:
         sep = ConvTDFSeparator(44100, **BOOTSTRAP_GEOMETRY)
+        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
     else:
         sep = ConvTDFSeparator(44100)
-    trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
     if args.resume:
         import jax
 
-        from audio_cut_tpu.models.convtdf import load_checkpoint, packaged_checkpoint_path
+        from audio_cut_tpu.models.convtdf import load_checkpoint
+
+        if args.family == "waveunet":
+            from audio_cut_tpu.models.waveunet import packaged_checkpoint_path
+        else:
+            from audio_cut_tpu.models.convtdf import packaged_checkpoint_path
 
         src = packaged_checkpoint_path() if args.resume == "packaged" else args.resume
         if not src:
@@ -251,7 +275,11 @@ def main() -> int:
         if args.bootstrap and str(ckpt_path).endswith(".msgpack"):
             import json
 
-            meta = {k: v for k, v in BOOTSTRAP_GEOMETRY.items() if k != "dim_t"}
+            if args.family == "waveunet":
+                meta = {k: v for k, v in WAVEUNET_GEOMETRY.items()
+                        if k != "window_samples"}
+            else:
+                meta = {k: v for k, v in BOOTSTRAP_GEOMETRY.items() if k != "dim_t"}
             with open(str(ckpt_path) + ".json", "w") as f:
                 json.dump(meta, f, indent=1)
             print(f"geometry sidecar saved: {ckpt_path}.json")
