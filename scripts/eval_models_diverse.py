@@ -67,6 +67,12 @@ def main() -> int:
     set_runtime_config({"enhanced_separation.convtdf.checkpoint": "packaged"})
     convtdf = make_backend("convtdf", SR)
     spectral = make_backend("spectral", SR)
+    from audio_cut_tpu.models.waveunet import packaged_checkpoint_path as wu_ckpt
+
+    waveunet = None
+    if wu_ckpt() is not None:
+        set_runtime_config({"enhanced_separation.waveunet.checkpoint": "packaged"})
+        waveunet = make_backend("waveunet", SR)
     vad = build_vad(SR)  # packaged production checkpoint
     assert isinstance(vad, ConvVAD) and vad.trained, "packaged ConvVAD required"
 
@@ -85,6 +91,9 @@ def main() -> int:
             "si_snr_spectral": round(si_snr(v_spec, vocal), 2),
             "si_snr_mix": round(si_snr(mix, vocal), 2),  # do-nothing floor
         }
+        if waveunet is not None:
+            v_wu, _ = waveunet.separate(mix)
+            row["si_snr_waveunet"] = round(si_snr(v_wu, vocal), 2)
 
         true = vocal_activity_frames(vocal, frame=gt_hop, hop=gt_hop)
         for tag, wave in (("sep", v_tdf), ("clean", vocal)):
