@@ -15,6 +15,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from audio_cut_tpu.ops.stft import stft
 
@@ -33,26 +34,52 @@ def _strided_window_sums(x: jnp.ndarray, window: int, stride: int) -> Tuple[jnp.
 
     x: [..., T]; output: [..., T//stride + 1]. Zero-padded at the edges;
     counts reflect the true in-bounds sample count.
+
+    Dense formulation for ANY (window, stride): bin the signal at the stride,
+    take per-bin prefix/suffix cumsums, and assemble each window as
+    (tail of its first bin) + (whole middle bins, a tiny sliding reduction)
+    + (head of its last bin). Window starts share a constant offset within
+    their bin, so every piece is a static slice — no gathers (the gather
+    formulation this replaced cost ~200 ms/track on TPU; this is O(T) dense
+    work). Sums stay direct (per-bin cumsums only — no global prefix
+    cancellation, see NUMERICS NOTE above).
     """
     t = x.shape[-1]
     n = t // stride + 1
     half = window // 2
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, window)])
-    if window % stride == 0 and stride <= window:
-        ratio = window // stride
-        cols = []
-        for r in range(ratio):
-            seg = jax.lax.slice_in_dim(xp, r * stride, r * stride + n * stride, axis=-1)
-            cols.append(seg.reshape(x.shape[:-1] + (n, stride)))
-        frames = jnp.concatenate(cols, axis=-1)
+    s = stride
+    lead = x.shape[:-1]
+    # pad so window starts are >= 0 and bin-aligned at constant offset o
+    p_left = -(-half // s) * s
+    o = p_left - half                  # window i starts at offset o in bin i
+    m = (o + window) // s              # window i ends in bin i+m at offset e
+    e = (o + window) % s
+    nb = n + m + 1
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(p_left, max(0, nb * s - p_left - t))])
+    xb = xp[..., :nb * s].reshape(lead + (nb, s))
+    suf = jnp.cumsum(xb[..., ::-1], axis=-1)[..., ::-1]   # suf[j,k] = sum x[k:]
+    if m == 0:
+        # window inside a single bin: within-bin difference only
+        top = suf[..., :n, o + window] if o + window < s else jnp.zeros(lead + (n,), x.dtype)
+        sums = suf[..., :n, o] - top
     else:
-        idx = jnp.arange(n)[:, None] * stride + jnp.arange(window)[None, :]
-        frames = jnp.take(xp, idx, axis=-1)
-    sums = jnp.sum(frames, axis=-1)
-    centers = jnp.arange(n) * stride
-    lo = jnp.clip(centers - half, 0, t)
-    hi = jnp.clip(centers - half + window, 0, t)
-    counts = jnp.maximum(hi - lo, 1).astype(jnp.float32)
+        pref = jnp.cumsum(xb, axis=-1)                    # pref[j,k] = sum x[:k+1]
+        left = suf[..., :n, o]                            # bin i from offset o
+        right = pref[..., m:n + m, e - 1] if e > 0 else jnp.zeros(lead + (n,), x.dtype)
+        sums = left + right
+        if m >= 2:
+            # sum of whole bins i+1 .. i+m-1: sliding reduction over bin totals
+            totals = pref[..., -1]
+            mid = jax.lax.reduce_window(
+                totals, 0.0, jax.lax.add,
+                (1,) * len(lead) + (m - 1,), (1,) * (len(lead) + 1),
+                [(0, 0)] * len(lead) + [(0, 0)],
+            )[..., 1:n + 1]
+            sums = sums + mid
+    centers = np.arange(n) * stride
+    lo = np.clip(centers - half, 0, t)
+    hi = np.clip(centers - half + window, 0, t)
+    counts = jnp.asarray(np.maximum(hi - lo, 1).astype(np.float32))
     return sums, counts
 
 

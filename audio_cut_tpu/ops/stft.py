@@ -56,6 +56,15 @@ def frame_signal(x: jnp.ndarray, frame_length: int, hop: int, center: bool = Tru
             cols.append(seg.reshape(x.shape[:-1] + (n, hop)))
         return jnp.concatenate(cols, axis=-1)
 
+    if hop >= frame_length:
+        # non-overlapping frames (e.g. the 0.05 s feature grid, hop 2205 >
+        # n_fft 2048): plain reshape + slice, no gathers
+        need = n * hop
+        if need > t:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - t)])
+        frames = x[..., :need].reshape(x.shape[:-1] + (n, hop))
+        return frames[..., :frame_length]
+
     starts = jnp.arange(n) * hop
     idx = starts[:, None] + jnp.arange(frame_length)[None, :]
     return jnp.take(x, idx, axis=-1)

@@ -1,0 +1,244 @@
+"""Widened synthetic timbre families for separator/VAD training legs.
+
+The classic generator (training/sep_data.py) spans one vocal timbre (glide
+f0, sine harmonics, clipped-sine AM) and one band (chords/bass/perc/pad).
+Models trained only on it generalize poorly to unseen timbres (the OOD eval,
+training/eval_data.py, showed a 12 dB in-dist -> OOD drop in round 3). This
+module adds VARIETY along the axes a separator must be invariant to —
+waveform class, pitch-contour shape, envelope family, instrumentation —
+while staying deliberately DISJOINT from the eval family so OOD numbers
+remain honest:
+
+* no Karplus-Strong plucks, no stepped natural-minor melodies, no hi-hat
+  differentiated-noise bursts, no bowed vibrato pad (those are eval-only);
+* instead: pulse-train and breathy voices, falsetto, pentatonic riff
+  contours, organ/brass/e-piano/FM-bell/tom instrument classes.
+
+`synth_pair_rich` draws one vocal class and 2-3 instrument classes per pair.
+Training legs mix classic and rich pairs (scripts/train_separator.py
+--rich); the promotion gate (scripts/eval_compare_separator.py) scores both
+families so a rich-trained candidate can never regress the classic one.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from audio_cut_tpu.training.sep_data import (
+    SR,
+    _channel_reverb,
+    _formant_gain,
+    _FORMANTS,
+    augment_pair,
+    instrumental_stem,
+    vocal_stem,
+)
+
+_PENTA = np.array([0, 2, 4, 7, 9])  # major pentatonic (eval uses natural minor)
+
+
+def _riff_f0(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Smooth pentatonic riff contour: per-note targets joined by fast
+    glides (NOT the eval family's hard semitone steps)."""
+    base = rng.uniform(120, 400)
+    t_note = rng.uniform(0.25, 0.6)
+    n_notes = max(2, int(n / SR / t_note) + 1)
+    degs = rng.choice(_PENTA, size=n_notes) + 12 * rng.integers(0, 2, size=n_notes)
+    targets = base * 2 ** (degs / 12.0)
+    # smooth interpolation through the note targets (glide-y, portamento-heavy)
+    knots = np.linspace(0, n - 1, n_notes)
+    return np.interp(np.arange(n), knots, targets)
+
+
+def _vocal_rich(rng: np.random.Generator, n: int) -> np.ndarray:
+    """One phrase from a randomly drawn vocal class."""
+    t = np.arange(n) / SR
+    cls = rng.integers(4)
+    if cls == 0:      # pulse-train voice: dense harmonics, slow rolloff
+        f0 = _riff_f0(rng, n)
+        rolloff, n_h, f0_mul = rng.uniform(0.5, 0.9), 24, 1.0
+        noise_amt = 0.0
+    elif cls == 1:    # breathy voice: moderate harmonics + formant noise
+        f0 = _riff_f0(rng, n)
+        rolloff, n_h, f0_mul = rng.uniform(1.0, 1.4), 10, 1.0
+        noise_amt = rng.uniform(0.15, 0.4)
+    elif cls == 2:    # falsetto: high f0, few harmonics
+        f0 = _riff_f0(rng, n)
+        rolloff, n_h, f0_mul = rng.uniform(1.6, 2.4), 4, rng.uniform(1.8, 2.6)
+        noise_amt = rng.uniform(0.0, 0.15)
+    else:             # hum: odd harmonics only (handled in the loop)
+        f0 = _riff_f0(rng, n)
+        rolloff, n_h, f0_mul = rng.uniform(0.9, 1.3), 9, rng.uniform(0.6, 1.0)
+        noise_amt = 0.0
+    f0 = f0 * f0_mul
+    vib = 1 + rng.uniform(0.008, 0.035) * np.sin(
+        2 * np.pi * rng.uniform(4.0, 7.5) * t + rng.uniform(0, 6.28))
+    phase = 2 * np.pi * np.cumsum(f0 * vib) / SR
+    f1, f2 = _FORMANTS[rng.integers(len(_FORMANTS))]
+    x = np.zeros(n)
+    med = float(np.median(f0))
+    for h in range(1, n_h + 1):
+        if cls == 3 and h % 2 == 0:
+            continue
+        fh = h * med
+        if fh > SR / 2 - 2000:
+            break
+        gain = _formant_gain(np.array([fh]), f1, f2)[0] / (h ** rolloff)
+        x += gain * np.sin(h * phase + rng.uniform(0, 6.28))
+    if noise_amt > 0:
+        # breath noise shaped to follow the voiced envelope
+        band = np.fft.irfft(
+            np.fft.rfft(rng.standard_normal(n))
+            * np.exp(-0.5 * ((np.fft.rfftfreq(n, 1 / SR) - f2) / 900.0) ** 2), n)
+        x += noise_amt * band / max(1e-9, np.abs(band).max()) * np.abs(x).max()
+    # envelope family: triangular swells OR sharp syllable gating
+    if rng.random() < 0.5:
+        am = 0.3 + 0.7 * np.clip(np.sin(
+            2 * np.pi * rng.uniform(2.0, 6.5) * t + rng.uniform(0, 6.28)), 0.0, None)
+    else:
+        swell = np.minimum(np.arange(n), n - np.arange(n)) / (n / 2)
+        am = 0.25 + 0.75 * swell ** rng.uniform(0.4, 1.2)
+    edge = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / (0.02 * SR))
+    return (x * am * edge).astype(np.float32)
+
+
+def vocal_stem_rich(rng: np.random.Generator, n: int) -> np.ndarray:
+    out = np.zeros(n, np.float32)
+    pos = int(rng.uniform(0, 0.4) * SR)
+    while pos < n - int(0.25 * SR):
+        pn = min(int(rng.uniform(0.4, 2.5) * SR), n - pos)
+        out[pos:pos + pn] += rng.uniform(0.25, 0.6) * _vocal_rich(rng, pn)
+        pos += pn + int(rng.uniform(0.15, 1.3) * SR)
+    return out
+
+
+def _inst_organ(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Sustained odd-harmonic chords, slow attack."""
+    t = np.arange(n) / SR
+    root = rng.uniform(70, 300)
+    env = 1 - np.exp(-t / rng.uniform(0.2, 0.8))
+    out = np.zeros(n)
+    for ratio in (1.0, 1.5, 2.0):
+        for h in (1, 3, 5):
+            out += (rng.uniform(0.02, 0.1) / h) * np.sin(
+                2 * np.pi * root * ratio * h * t + rng.uniform(0, 6.28))
+    return (out * env).astype(np.float32)
+
+
+def _inst_brass(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Bright stabs on a beat grid with a pitch scoop into each note."""
+    period = rng.uniform(0.35, 0.7)
+    root = rng.uniform(100, 280)
+    out = np.zeros(n, np.float32)
+    for onset in np.arange(rng.uniform(0, period), n / SR - 0.05, period):
+        i = int(onset * SR)
+        pn = min(int(rng.uniform(0.15, 0.35) * SR), n - i)
+        if pn <= 0:
+            continue
+        tt = np.arange(pn) / SR
+        scoop = root * (1 - 0.06 * np.exp(-tt / 0.04))
+        phase = 2 * np.pi * np.cumsum(scoop) / SR
+        note = sum(np.sin(h * phase + rng.uniform(0, 6.28)) / h ** 0.5
+                   for h in range(1, 9))
+        env = np.minimum(1.0, tt / 0.02) * np.exp(-tt / rng.uniform(0.1, 0.25))
+        out[i:i + pn] += (rng.uniform(0.08, 0.25) * note * env).astype(np.float32)
+    return out
+
+
+def _inst_epiano(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Decaying two-partial notes arpeggiating over a chord (pitch changes
+    per note — but rounded sine timbre, unlike the eval family's plucks)."""
+    period = rng.uniform(0.15, 0.35)
+    root = rng.uniform(90, 240)
+    chord = [root * 2 ** (d / 12.0) for d in (0, 4, 7, 11)]
+    out = np.zeros(n, np.float32)
+    k = 0
+    for onset in np.arange(rng.uniform(0, period), n / SR - 0.05, period):
+        i = int(onset * SR)
+        pn = min(int(rng.uniform(0.3, 0.7) * SR), n - i)
+        if pn <= 0:
+            continue
+        tt = np.arange(pn) / SR
+        f = chord[k % len(chord)]
+        note = (np.sin(2 * np.pi * f * tt)
+                + 0.35 * np.sin(2 * np.pi * 4 * f * tt + rng.uniform(0, 6.28)))
+        out[i:i + pn] += (rng.uniform(0.08, 0.2) * note
+                          * np.exp(-tt / rng.uniform(0.12, 0.3))).astype(np.float32)
+        k += 1
+    return out
+
+
+def _inst_fmbell(rng: np.random.Generator, n: int) -> np.ndarray:
+    """FM bell pad: carrier + inharmonic modulator, very slow envelope."""
+    t = np.arange(n) / SR
+    fc = rng.uniform(200, 600)
+    fm = fc * rng.uniform(1.3, 2.8)
+    idx = rng.uniform(1.0, 4.0) * np.exp(-t / rng.uniform(1.0, 3.0))
+    x = np.sin(2 * np.pi * fc * t + idx * np.sin(2 * np.pi * fm * t))
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.05, 0.2) * t)
+    return (rng.uniform(0.04, 0.14) * x * env).astype(np.float32)
+
+
+def _inst_toms(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Pitched drum hits: decaying sine with a downward pitch sweep."""
+    period = rng.uniform(0.4, 0.9)
+    out = np.zeros(n, np.float32)
+    for onset in np.arange(rng.uniform(0, period), n / SR - 0.05, period):
+        i = int(onset * SR)
+        pn = min(int(0.2 * SR), n - i)
+        if pn <= 0:
+            continue
+        tt = np.arange(pn) / SR
+        f = rng.uniform(60, 160) * (1 + 0.8 * np.exp(-tt / 0.03))
+        phase = 2 * np.pi * np.cumsum(f) / SR
+        out[i:i + pn] += (rng.uniform(0.15, 0.4) * np.sin(phase)
+                          * np.exp(-tt / rng.uniform(0.04, 0.12))).astype(np.float32)
+    return out
+
+
+_INST_CLASSES = (_inst_organ, _inst_brass, _inst_epiano, _inst_fmbell, _inst_toms)
+
+
+def instrumental_stem_rich(rng: np.random.Generator, n: int) -> np.ndarray:
+    """2-3 instrument classes layered; may include the classic band too."""
+    picks = rng.choice(len(_INST_CLASSES), size=rng.integers(2, 4), replace=False)
+    out = np.zeros(n, np.float32)
+    for p in picks:
+        out += _INST_CLASSES[p](rng, n)
+    if rng.random() < 0.3:
+        out += 0.5 * instrumental_stem(rng, n)
+    # broadband floor
+    out += (rng.standard_normal(n) * rng.uniform(0.003, 0.03)).astype(np.float32)
+    return out
+
+
+def synth_pair_rich(rng: np.random.Generator, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """One rich-family (mix, vocal) pair; vocal may also be classic-family
+    (the classes union, so rich legs keep seeing classic voices)."""
+    vocal = (vocal_stem(rng, n) if rng.random() < 0.3
+             else vocal_stem_rich(rng, n))
+    inst = instrumental_stem_rich(rng, n) * rng.uniform(0.5, 1.8)
+    mix = vocal + inst
+    peak = max(float(np.abs(mix).max()), 1e-6)
+    if peak > 1.0:
+        mix, vocal = mix / peak, vocal / peak
+    return mix.astype(np.float32), vocal.astype(np.float32)
+
+
+def rich_batches(window: int, batch: int, rng: np.random.Generator,
+                 augment: bool = True, classic_frac: float = 0.4):
+    """Infinite (mix [B,S], vocal [B,S]) batches mixing classic and rich
+    families, with channel augmentation (reverb/saturation/noise)."""
+    from audio_cut_tpu.training.sep_data import synth_pair
+
+    while True:
+        mixes = np.empty((batch, window), np.float32)
+        vocals = np.empty((batch, window), np.float32)
+        for b in range(batch):
+            pair_fn = synth_pair if rng.random() < classic_frac else synth_pair_rich
+            mixes[b], vocals[b] = pair_fn(rng, window)
+            if augment:
+                mixes[b], vocals[b] = augment_pair(rng, mixes[b], vocals[b])
+        yield mixes, vocals

@@ -142,6 +142,10 @@ def main() -> int:
     ap.add_argument("--augment", action="store_true",
                     help="channel-effect augmentation (reverb/saturation/"
                          "noise) on the bootstrap generator's pairs")
+    ap.add_argument("--rich", action="store_true",
+                    help="widened timbre families (training/rich_data.py) "
+                         "mixed with the classic generator, augmentation on "
+                         "— the OOD-generalization training leg")
     ap.add_argument("--family", choices=("convtdf", "waveunet"), default="convtdf",
                     help="separator family: spectrogram mask net (default) "
                          "or the Demucs-role waveform U-Net second tier")
@@ -222,11 +226,15 @@ def main() -> int:
         print(f"resumed params from {src}", flush=True)
 
     rng = np.random.default_rng(0)
-    if args.bootstrap:
-        from audio_cut_tpu.training.sep_data import synth_batches as rich_batches
+    if args.bootstrap and args.rich:
+        from audio_cut_tpu.training.rich_data import rich_batches
 
-        batches = rich_batches(sep.window_samples, args.batch, rng,
-                               augment=args.augment)
+        batches = rich_batches(sep.window_samples, args.batch, rng)
+    elif args.bootstrap:
+        from audio_cut_tpu.training.sep_data import synth_batches
+
+        batches = synth_batches(sep.window_samples, args.batch, rng,
+                                augment=args.augment)
     elif args.synthetic or not args.data_dir:
         batches = synthetic_batches(sep.window_samples, args.batch, rng)
     else:
