@@ -396,6 +396,171 @@ class SeparationEngine:
         inst[lo:hi] += i[:span] * w[:span]
         weight[lo:hi] += w[:span]
 
+    # -- pipelined piece path (upload overlaps compute) ---------------------
+
+    def _piece_layout(self, padded_len: int):
+        """Host-side layout for the pipelined upload path (cached).
+
+        The monolithic OLA program serialises the whole int16 upload before
+        any compute starts; over the tunnel that upload costs as much as the
+        entire model forward (~145 ms vs ~148 ms for 60 s, measured r3). This
+        splits the schedule into PIECES of `device_pipeline.piece_windows`
+        consecutive windows; each piece is its own upload + forward dispatch,
+        so the transfer engine streams piece k+1 while the MXU computes piece
+        k (the role CUDA pinned-buffer prefetch played in the reference,
+        gpu_pipeline.py:378-421). A combine program then assembles the OLA
+        exactly as the monolithic graph would.
+
+        Returns None when pipelining is off / not applicable.
+        """
+        import jax
+
+        if not bool(get_config("device_pipeline.pipelined_upload", True)):
+            return None
+        if not hasattr(self.backend, "separate_windows_fn"):
+            return None
+        self._ensure_geometry()
+        per = max(1, int(get_config("device_pipeline.piece_windows", 2)))
+        key = ("piece_layout", self._backend_name, id(self.backend), self.sample_rate,
+               padded_len, self.chunk_s, self.overlap_s, self.halo_s, self.align, per)
+        if key in _OLA_PROGRAM_CACHE:
+            return _OLA_PROGRAM_CACHE[key]
+        plans, window, weights, inv_wsum = ola_plan(
+            padded_len, self.sample_rate, self.chunk_s, self.overlap_s, self.halo_s, self.align
+        )
+        if len(plans) <= 2:
+            _OLA_PROGRAM_CACHE[key] = None
+            return None
+        # each piece is a dispatch + its own transfer: cap the piece count so
+        # backends with small native windows don't shatter the schedule into
+        # dozens of tiny uploads whose per-dispatch latency eats the overlap
+        max_pieces = max(2, int(get_config("device_pipeline.max_pieces", 8)))
+        per = max(per, -(-len(plans) // max_pieces))
+        starts = [p.start for p in plans]
+        groups = [starts[k:k + per] for k in range(0, len(starts), per)]
+        spans = [(g[0], g[-1] + window) for g in groups]
+        span_len = max(e - s for s, e in spans)
+        kmax = max(len(g) for g in groups)
+        wts_dev, offs_dev = [], []
+        base = 0
+        for gi, g in enumerate(groups):
+            wt = np.zeros((kmax, window), np.float32)
+            of = np.zeros((kmax,), np.int32)
+            for j, s in enumerate(g):
+                wt[j] = weights[base + j]
+                of[j] = s - spans[gi][0]
+            base += len(g)
+            wts_dev.append(jax.device_put(wt))
+            offs_dev.append(jax.device_put(of))
+        layout = {
+            "per": per,
+            "window": window,
+            "n_chunks": len(plans),
+            "groups": groups,
+            "spans": spans,
+            "span_len": span_len,
+            "kmax": kmax,
+            "wts_dev": wts_dev,
+            "offs_dev": offs_dev,
+            "inv_wsum": inv_wsum,
+            "padded_len": padded_len,
+        }
+        _OLA_PROGRAM_CACHE[key] = layout
+        return layout
+
+    def _piece_forward_fn(self, layout):
+        """ONE jitted program serving every piece: dequantize the piece span,
+        slice its windows at traced offsets, batched backend forward, apply
+        the piece's OLA weight rows."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("piece_fwd", self._backend_name, id(self.backend),
+               layout["window"], layout["kmax"], layout["span_len"])
+        if key in _OLA_PROGRAM_CACHE:
+            return _OLA_PROGRAM_CACHE[key]
+        backend = self.backend
+        window = layout["window"]
+        kmax = layout["kmax"]
+
+        def piece(raw_piece, scale, wts, offs):
+            x = raw_piece.astype(jnp.float32) * scale
+            wins = jnp.stack([
+                jax.lax.dynamic_slice_in_dim(x, offs[j], window) for j in range(kmax)
+            ])
+            v, i = backend.separate_windows_fn(wins)
+            return v * wts, i * wts
+
+        fn = jax.jit(piece)
+        _OLA_PROGRAM_CACHE[key] = fn
+        return fn
+
+    def _combine_graph(self, layout):
+        """Traceable combine: weighted piece windows -> normalized stems, and
+        the dequantized mix reassembled from the piece uploads (bit-identical
+        to the monolithic program's mix). Composed with the detection bundle
+        by the fused path."""
+        import jax
+        import jax.numpy as jnp
+
+        groups = layout["groups"]
+        spans = layout["spans"]
+        window = layout["window"]
+        padded_len = layout["padded_len"]
+        inv_wsum = layout["inv_wsum"]
+
+        def combine(vs, iss, raws, scale):
+            vocal = jnp.zeros(padded_len, jnp.float32)
+            inst = jnp.zeros(padded_len, jnp.float32)
+            for gi, g in enumerate(groups):
+                for j, s in enumerate(g):
+                    vocal = jax.lax.dynamic_update_slice_in_dim(
+                        vocal, jax.lax.dynamic_slice_in_dim(vocal, s, window) + vs[gi][j],
+                        s, axis=0)
+                    inst = jax.lax.dynamic_update_slice_in_dim(
+                        inst, jax.lax.dynamic_slice_in_dim(inst, s, window) + iss[gi][j],
+                        s, axis=0)
+            norm = jnp.asarray(inv_wsum)
+            mix = jnp.zeros(padded_len, jnp.float32)
+            for gi, (s, _e) in enumerate(spans):
+                owned_end = spans[gi + 1][0] if gi + 1 < len(spans) else padded_len
+                owned = (owned_end - s)
+                piece_f32 = raws[gi][:owned].astype(jnp.float32) * scale
+                mix = jax.lax.dynamic_update_slice_in_dim(mix, piece_f32, s, axis=0)
+            return vocal * norm, inst * norm, mix
+
+        return combine
+
+    def _dispatch_pieces(self, raw: np.ndarray, scale, layout):
+        """Upload + forward every piece with async dispatch: the host loop
+        returns futures; transfer of piece k+1 overlaps compute of piece k."""
+        import jax.numpy as jnp
+
+        piece_fn = self._piece_forward_fn(layout)
+        span_len = layout["span_len"]
+        vs, iss, raw_devs = [], [], []
+        for gi, (s, e) in enumerate(layout["spans"]):
+            rp = raw[s:e]
+            if e - s < span_len:
+                rp = np.pad(rp, (0, span_len - (e - s)))
+            d = jnp.asarray(np.ascontiguousarray(rp))
+            v, i = piece_fn(d, scale, layout["wts_dev"][gi], layout["offs_dev"][gi])
+            vs.append(v)
+            iss.append(i)
+            raw_devs.append(d)
+        return vs, iss, raw_devs
+
+    def _piece_combine_fn(self, layout):
+        import jax
+
+        key = ("piece_combine", self._backend_name, id(self.backend),
+               layout["padded_len"], layout["window"], layout["per"])
+        if key in _OLA_PROGRAM_CACHE:
+            return _OLA_PROGRAM_CACHE[key]
+        fn = jax.jit(self._combine_graph(layout))
+        _OLA_PROGRAM_CACHE[key] = fn
+        return fn
+
     # -- on-device OLA path (single upload, single download) ----------------
 
     def _ola_graph(self, padded_len: int):
@@ -471,7 +636,6 @@ class SeparationEngine:
         bucket = int(round(PAD_BUCKET_S * self.sample_rate))
         padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
         padded_len = ((padded_len + self.align - 1) // self.align) * self.align
-        fn, n_chunks = self._device_ola_fn(padded_len)
 
         import jax
 
@@ -484,7 +648,16 @@ class SeparationEngine:
         else:
             raw = padded
             scale = np.float32(1.0)
-        vocal, inst, mix_dev = fn(jnp.asarray(raw), scale)
+        layout = self._piece_layout(padded_len)
+        if layout is not None:
+            vs, iss, raw_devs = self._dispatch_pieces(raw, scale, layout)
+            vocal, inst, mix_dev = self._piece_combine_fn(layout)(vs, iss, raw_devs, scale)
+            n_chunks = layout["n_chunks"]
+            mode = f"device_ola_pipelined_p{len(layout['spans'])}"
+        else:
+            fn, n_chunks = self._device_ola_fn(padded_len)
+            vocal, inst, mix_dev = fn(jnp.asarray(raw), scale)
+            mode = "device_ola"
         # fence before timing: async dispatch returns immediately, so an
         # unfenced clock measures host enqueue, not device compute (the
         # reference fenced with torch.cuda.synchronize, backends.py:183-214).
@@ -498,7 +671,7 @@ class SeparationEngine:
             "gpu_pipeline_compute_ms": round((time.time() - t0) * 1000.0, 3),
             "gpu_pipeline_total_ms": round((time.time() - t0) * 1000.0, 3),
             "gpu_pipeline_device": _platform_of(vocal),
-            "gpu_pipeline_mode": "device_ola",
+            "gpu_pipeline_mode": mode,
         }
         return vocal[:n], inst[:n], mix_dev, meta
 

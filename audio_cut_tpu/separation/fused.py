@@ -37,14 +37,13 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
     vad_depth = vad_model.net.depth if vad_model is not None else 0
     key = (engine._backend_name, id(engine.backend), sr, padded_len,
            engine.chunk_s, engine.overlap_s, engine.halo_s, engine.align,
-           statics, vad_channels, vad_depth, vad_model is not None)
+           statics, vad_channels, vad_depth, vad_model is not None,
+           bool(get_config("device_pipeline.pipelined_upload", True)),
+           int(get_config("device_pipeline.piece_windows", 2)))
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
 
-    run, n_chunks = engine._ola_graph(padded_len)
-
-    def fused(raw, scale, n_true, vad_params):
-        vocal, inst, mix_f32 = run(raw, scale)
+    def _bundle_tail(vocal, inst, mix_f32, n_true, vad_params):
         # zero the pad tail: the OLA leaks a little energy past the true
         # track end (iSTFT frame spread), while the staged path re-pads the
         # sliced stem with exact zeros — mask so both paths are bit-equal
@@ -58,7 +57,28 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
         ])
         return vocal, inst, mix_f32, flat
 
-    _FUSED_CACHE[key] = (jax.jit(fused), n_chunks)
+    layout = engine._piece_layout(padded_len)
+    if layout is not None:
+        # pipelined pieces: the per-piece uploads/forwards are dispatched by
+        # the caller; this program combines them AND runs the bundle — same
+        # content as the monolithic fused program, but the dominant int16
+        # upload now overlaps the window forwards
+        combine = engine._combine_graph(layout)
+
+        def fused_pieces(vs, iss, raws, scale, n_true, vad_params):
+            vocal, inst, mix_f32 = combine(vs, iss, raws, scale)
+            return _bundle_tail(vocal, inst, mix_f32, n_true, vad_params)
+
+        _FUSED_CACHE[key] = (jax.jit(fused_pieces), layout["n_chunks"], layout)
+        return _FUSED_CACHE[key]
+
+    run, n_chunks = engine._ola_graph(padded_len)
+
+    def fused(raw, scale, n_true, vad_params):
+        vocal, inst, mix_f32 = run(raw, scale)
+        return _bundle_tail(vocal, inst, mix_f32, n_true, vad_params)
+
+    _FUSED_CACHE[key] = (jax.jit(fused), n_chunks, None)
     return _FUSED_CACHE[key]
 
 
@@ -103,7 +123,7 @@ def separate_and_detect_fused(
     padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
     padded_len = ((padded_len + engine.align - 1) // engine.align) * engine.align
     statics = bundle_statics(sr, guard_win_ms, refine_win_ms)
-    fn, n_chunks = _fused_fn(engine, padded_len, sr, statics, vad_model)
+    fn, n_chunks, layout = _fused_fn(engine, padded_len, sr, statics, vad_model)
 
     t0 = time.time()
     padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
@@ -113,9 +133,15 @@ def separate_and_detect_fused(
         raw = padded
         scale = np.float32(1.0)
     vad_params = vad_model.params if vad_model is not None else None
-    vocal_dev, inst_dev, mix_dev, flat = fn(
-        jnp.asarray(raw), scale, np.int32(n), vad_params
-    )
+    if layout is not None:
+        vs, iss, raw_devs = engine._dispatch_pieces(raw, scale, layout)
+        vocal_dev, inst_dev, mix_dev, flat = fn(
+            vs, iss, raw_devs, scale, np.int32(n), vad_params
+        )
+    else:
+        vocal_dev, inst_dev, mix_dev, flat = fn(
+            jnp.asarray(raw), scale, np.int32(n), vad_params
+        )
     # the flat download forces completion of the WHOLE program — it is the
     # only host sync on this path
     flat_host = np.asarray(flat)
@@ -131,7 +157,8 @@ def separate_and_detect_fused(
         "gpu_pipeline_compute_ms": total_ms,
         "gpu_pipeline_total_ms": total_ms,
         "gpu_pipeline_device": _platform_of(vocal_dev),
-        "gpu_pipeline_mode": "fused_single_program",
+        "gpu_pipeline_mode": ("fused_pipelined_p%d" % len(layout["spans"]))
+        if layout is not None else "fused_single_program",
     }
     result = SeparationResult(
         vocal_track=None,

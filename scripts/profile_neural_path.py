@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""On-chip stage profile of the ConvTDF serving path.
+
+Times (warm, best-of-3) on a 60 s song:
+  * full device-OLA `separate_on_device` for map_group in a sweep,
+  * the isolated stages at model geometry: STFT, mask forward, iSTFT,
+so we can see where the neural path's time goes vs the spectral tier.
+
+Writes JSON to docs/profile_neural_r3.json. Internal wall budget; always
+exits cleanly (never kill a TPU-attached process externally).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BUDGET_S = float(os.environ.get("PROFILE_BUDGET_S", "1500"))
+T_START = time.time()
+
+
+def left() -> float:
+    return BUDGET_S - (time.time() - T_START)
+
+
+def main() -> int:
+    sys.path.insert(0, os.getcwd())
+    from audio_cut_tpu.utils.device import configure_jax
+
+    configure_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_song
+
+    out = {"device": str(jax.devices()[0])}
+
+    # attach-quality probe (same recipe as bench.py)
+    from audio_cut_tpu.separation.backends import make_backend
+
+    audio, sr = make_song(60.0)
+    bk_sp = make_backend("spectral", sr)
+    w = jnp.asarray((np.random.default_rng(0).standard_normal(444416) * 0.1).astype(np.float32))
+    v, _ = bk_sp.separate_window(w)
+    np.asarray(v[:1])
+    t0 = time.time()
+    v, _ = bk_sp.separate_window(w)
+    np.asarray(v[:1])
+    probe = time.time() - t0
+    out["probe_s"] = round(probe, 3)
+    if probe > 0.6:
+        out["verdict"] = "slow_attach"
+        print(json.dumps(out))
+        return 3
+
+    from audio_cut_tpu.config import set_runtime_config, reset_runtime_config
+    from audio_cut_tpu.separation.engine import SeparationEngine
+
+    def best3(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    # -- full path sweep over map_group ---------------------------------
+    sweep = {}
+    for group in (4, 8, 12):
+        if left() < 240:
+            sweep[str(group)] = "skipped_budget"
+            break
+        reset_runtime_config()
+        set_runtime_config({
+            "enhanced_separation.backend": "convtdf",
+            "enhanced_separation.convtdf.checkpoint": "packaged",
+            "enhanced_separation.convtdf.map_group": group,
+        })
+        eng = SeparationEngine(sr)
+        t_compile0 = time.time()
+        v_dev, i_dev, _m, meta = eng.separate_on_device(audio)  # compile+run
+        compile_s = time.time() - t_compile0
+
+        def run():
+            v, i, _m, _meta = eng.separate_on_device(audio)
+            jax.block_until_ready((v, i))
+
+        warm = best3(run)
+        sweep[str(group)] = {
+            "compile_or_cacheload_s": round(compile_s, 3),
+            "warm_s": round(warm, 4),
+            "xrt": round(60.0 / warm, 1),
+            "chunks": meta.get("gpu_pipeline_chunks"),
+        }
+        print(f"map_group={group}: warm={warm:.3f}s xrt={60.0/warm:.1f}", flush=True)
+    out["device_ola_sweep"] = sweep
+
+    # -- stage isolation at model geometry ------------------------------
+    reset_runtime_config()
+    set_runtime_config({
+        "enhanced_separation.backend": "convtdf",
+        "enhanced_separation.convtdf.checkpoint": "packaged",
+    })
+    from audio_cut_tpu.separation.backends import make_backend as mk
+
+    bk = mk("convtdf", sr)
+    sepm = bk.sep
+    n_windows = 11
+    rng = np.random.default_rng(1)
+    wins = jnp.asarray(rng.standard_normal((n_windows, sepm.window_samples)).astype(np.float32) * 0.1)
+
+    stages = {}
+    if left() > 300:
+        analyze_j = jax.jit(lambda a: sepm.analyze(a))
+        fw_j = jax.jit(lambda p, ri: sepm.spec_forward(p, ri))
+        synth_j = jax.jit(lambda s, m: sepm.synthesize(s, m, sepm.window_samples))
+
+        group = bk.map_group
+        g_wins = wins[:group]
+        spec, ri = analyze_j(g_wins)
+        jax.block_until_ready(ri)
+        stages["geometry"] = {
+            "group": group, "n_windows": n_windows,
+            "spec": list(spec.shape), "ri": list(ri.shape),
+        }
+
+        stages["stft_s"] = round(best3(lambda: jax.block_until_ready(analyze_j(g_wins))), 4)
+        mask = fw_j(bk.params, ri)
+        jax.block_until_ready(mask)
+        stages["forward_s"] = round(best3(lambda: jax.block_until_ready(fw_j(bk.params, ri))), 4)
+        jax.block_until_ready(synth_j(spec, mask))
+        stages["istft_s"] = round(best3(lambda: jax.block_until_ready(synth_j(spec, mask))), 4)
+
+        # whole batched-windows call as the engine uses it
+        full_j = jax.jit(lambda w_: bk.separate_windows_fn(w_))
+        jax.block_until_ready(full_j(wins))
+        stages["separate_windows_all11_s"] = round(
+            best3(lambda: jax.block_until_ready(full_j(wins))), 4)
+    out["stages"] = stages
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/profile_neural_r3.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    rc = 1
+    try:
+        rc = main()
+    except Exception as exc:  # clean exit always — no external kills
+        print(json.dumps({"error": repr(exc)}))
+        rc = 1
+    sys.exit(rc)

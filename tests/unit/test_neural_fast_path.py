@@ -97,7 +97,7 @@ def test_convtdf_device_ola_reconstruction_and_meta(convtdf_overrides):
         v_dev, i_dev, _mix, meta = eng.separate_on_device(audio)
         v = np.asarray(v_dev)
         i = np.asarray(i_dev)
-        assert meta["gpu_pipeline_mode"] == "device_ola"
+        assert meta["gpu_pipeline_mode"].startswith("device_ola")
         assert meta["gpu_pipeline_backend"] == "convtdf"
         assert v.shape == audio.shape
         # int16 upload quantization bounds the reconstruction error
@@ -161,7 +161,7 @@ def test_convtdf_fused_single_program_matches_staged(convtdf_overrides):
         vad_model = vad if isinstance(vad, ConvVAD) else None
         eng = SeparationEngine(SR)
         sep_f, bundle_f = separate_and_detect_fused(eng, vad_model, audio)
-        assert sep_f.device_meta["gpu_pipeline_mode"] == "fused_single_program"
+        assert sep_f.device_meta["gpu_pipeline_mode"].startswith(("fused_single_program", "fused_pipelined"))
         assert sep_f.backend_used == "convtdf"
 
         eng2 = SeparationEngine(SR)
@@ -226,7 +226,7 @@ def test_onnx_backend_device_ola_and_fused(tmp_path):
         audio = _noisy_song(seconds=6.0, seed=21)
         eng = SeparationEngine(SR)
         v_dev, i_dev, _m, meta = eng.separate_on_device(audio)
-        assert meta["gpu_pipeline_mode"] == "device_ola"
+        assert meta["gpu_pipeline_mode"].startswith("device_ola")
         assert meta["gpu_pipeline_backend"] == "onnx"
         # identity mask at full bins: OLA-merged vocal == (dequantized) mix
         np.testing.assert_allclose(np.asarray(v_dev), audio, atol=3e-4)
@@ -234,7 +234,7 @@ def test_onnx_backend_device_ola_and_fused(tmp_path):
         vad = build_vad(SR)
         vad_model = vad if isinstance(vad, ConvVAD) else None
         sep_f, bundle_f = separate_and_detect_fused(SeparationEngine(SR), vad_model, audio)
-        assert sep_f.device_meta["gpu_pipeline_mode"] == "fused_single_program"
+        assert sep_f.device_meta["gpu_pipeline_mode"].startswith(("fused_single_program", "fused_pipelined"))
         np.testing.assert_allclose(np.asarray(sep_f.vocal_device), np.asarray(v_dev), atol=1e-5)
     finally:
         reset_runtime_config()

@@ -57,10 +57,31 @@ def test_device_ola_matches_full(song_audio):
     v_full, _ = eng.separate_full(audio)
     v_dev, i_dev, _mix_dev, meta = eng.separate_on_device(audio)
     v_dev = np.asarray(v_dev)
-    assert meta["gpu_pipeline_mode"] == "device_ola"
+    assert meta["gpu_pipeline_mode"].startswith(("device_ola", "device_ola_pipelined"))
     err = np.abs(v_dev - v_full).max()
     assert err < 5e-3, f"device-OLA vs full L_inf {err}"
     np.testing.assert_allclose(v_dev + np.asarray(i_dev), audio, atol=2e-5)
+
+
+def test_pipelined_matches_monolithic(song_audio):
+    """The pipelined piece path must reproduce the monolithic OLA program:
+    stems to float tolerance, the reassembled dequantized mix bit-exactly."""
+    from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+
+    audio, sr = song_audio
+    eng = SeparationEngine(sample_rate=sr, backend="spectral")
+    v_p, i_p, mix_p, meta_p = eng.separate_on_device(audio)
+    assert meta_p["gpu_pipeline_mode"].startswith("device_ola_pipelined_p")
+    set_runtime_config({"device_pipeline.pipelined_upload": False})
+    try:
+        eng2 = SeparationEngine(sample_rate=sr, backend="spectral")
+        v_m, i_m, mix_m, meta_m = eng2.separate_on_device(audio)
+        assert meta_m["gpu_pipeline_mode"] == "device_ola"
+    finally:
+        reset_runtime_config()
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i_p), np.asarray(i_m), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mix_p), np.asarray(mix_m))
 
 
 def test_separation_result_fields(song_audio):
