@@ -27,6 +27,21 @@ logger = logging.getLogger(__name__)
 # instances so repeat API calls never recompile
 _OLA_PROGRAM_CACHE: Dict[Any, Any] = {}
 
+_CACHE_TOKENS = iter(range(1, 1 << 62))
+
+
+def backend_cache_token(backend) -> int:
+    """Monotonic per-instance cache key. `id(backend)` is unsafe here: an
+    ad-hoc backend (tests, ConvTDFBackend.separate) can be GC'd and a NEW
+    instance with different weights allocated at the recycled address would
+    silently hit the old instance's compiled program."""
+    tok = backend.__dict__.get("_cache_token")
+    if tok is None:
+        tok = next(_CACHE_TOKENS)
+        backend.__dict__["_cache_token"] = tok
+    return tok
+
+
 # track-length padding bucket for the whole-track OLA program: bounds the
 # number of distinct compiled lengths. 15 s halves the padding waste of the
 # original 30 s bucket (a 60 s track computed 90 s of windows = +50% device
@@ -421,7 +436,7 @@ class SeparationEngine:
             return None
         self._ensure_geometry()
         per = max(1, int(get_config("device_pipeline.piece_windows", 2)))
-        key = ("piece_layout", self._backend_name, id(self.backend), self.sample_rate,
+        key = ("piece_layout", self._backend_name, backend_cache_token(self.backend), self.sample_rate,
                padded_len, self.chunk_s, self.overlap_s, self.halo_s, self.align, per)
         if key in _OLA_PROGRAM_CACHE:
             return _OLA_PROGRAM_CACHE[key]
@@ -475,7 +490,7 @@ class SeparationEngine:
         import jax
         import jax.numpy as jnp
 
-        key = ("piece_fwd", self._backend_name, id(self.backend),
+        key = ("piece_fwd", self._backend_name, backend_cache_token(self.backend),
                layout["window"], layout["kmax"], layout["span_len"])
         if key in _OLA_PROGRAM_CACHE:
             return _OLA_PROGRAM_CACHE[key]
@@ -553,7 +568,7 @@ class SeparationEngine:
     def _piece_combine_fn(self, layout):
         import jax
 
-        key = ("piece_combine", self._backend_name, id(self.backend),
+        key = ("piece_combine", self._backend_name, backend_cache_token(self.backend),
                layout["padded_len"], layout["window"], layout["per"])
         if key in _OLA_PROGRAM_CACHE:
             return _OLA_PROGRAM_CACHE[key]
@@ -614,7 +629,7 @@ class SeparationEngine:
         self._ensure_geometry()
         # module-level cache: compiled programs must outlive the engine
         # instance (the API builds a fresh splitter/engine per call)
-        key = (self._backend_name, id(self.backend), self.sample_rate, padded_len,
+        key = (self._backend_name, backend_cache_token(self.backend), self.sample_rate, padded_len,
                self.chunk_s, self.overlap_s, self.halo_s, self.align)
         cache = _OLA_PROGRAM_CACHE
         if key in cache:

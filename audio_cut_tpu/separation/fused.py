@@ -32,10 +32,11 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
     import jax.numpy as jnp
 
     from audio_cut_tpu.analysis.bundle import _bundle_fn
+    from audio_cut_tpu.separation.engine import backend_cache_token
 
     vad_channels = vad_model.net.channels if vad_model is not None else 0
     vad_depth = vad_model.net.depth if vad_model is not None else 0
-    key = (engine._backend_name, id(engine.backend), sr, padded_len,
+    key = (engine._backend_name, backend_cache_token(engine.backend), sr, padded_len,
            engine.chunk_s, engine.overlap_s, engine.halo_s, engine.align,
            statics, vad_channels, vad_depth, vad_model is not None,
            bool(get_config("device_pipeline.pipelined_upload", True)),
