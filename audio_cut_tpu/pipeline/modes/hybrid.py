@@ -55,11 +55,30 @@ def process_hybrid_mdd(
         if 0.0 < float(t) < float(base["cut_points_sec"][-1])
     ]
 
-    audio = splitter._load(input_path)
+    # reuse the sub-run's device pass when it is for this exact file: the
+    # v2.2_mdd sub-run stashes (audio, sep, bundle) one-shot on the splitter
+    # (pure_vocal.py), so hybrid runs ONE separation+bundle program per track
+    # instead of two
+    import os
+
+    audio = sep = bundle = None
+    memo = getattr(splitter, "_fused_pass_memo", None)
+    if memo is not None:
+        splitter._fused_pass_memo = None
+        try:
+            st = os.stat(input_path)
+            key = (os.path.realpath(input_path), st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = None
+        if key is not None and memo[0] == key:
+            _, audio, sep, bundle = memo
+    if audio is None:
+        audio = splitter._load(input_path)
     duration = len(audio) / float(sr)
-    # hybrid never exports the instrumental: keep both stems device-resident
-    # so vocal_host() stays lazy (ADVICE r2)
-    sep = splitter.separator.separate_for_detection(audio, need_instrumental=False)
+    if sep is None:
+        # hybrid never exports the instrumental: keep both stems
+        # device-resident so vocal_host() stays lazy (ADVICE r2)
+        sep = splitter.separator.separate_for_detection(audio, need_instrumental=False)
 
     def vocal_host() -> np.ndarray:
         # lazy host stem: only fallback paths below ever download it
@@ -72,7 +91,8 @@ def process_hybrid_mdd(
 
     qc = get_config("v2_mdd.quality_control", {}) or {}
     eqc = qc.get("enforce_quiet_cut", {}) or {}
-    bundle = _build_bundle(splitter, audio, vocal_host, sep, sr, eqc, {})
+    if bundle is None:
+        bundle = _build_bundle(splitter, audio, vocal_host, sep, sr, eqc, {})
     features = bundle.features if bundle is not None else build_track_features(audio, sr)
     density = str(hcfg.get("beat_cut_density", "medium"))
     preset = (hcfg.get("density_presets", {}) or {}).get(density, {}) or {}

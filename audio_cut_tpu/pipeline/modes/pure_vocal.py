@@ -101,6 +101,21 @@ def process_pure_vocal_split(
         bundle = _build_bundle(
             splitter, audio, vocal_host, sep, sr, eqc, lbr, vad_model=vad_model,
         )
+    # one-shot share with an enclosing hybrid_mdd run: hybrid re-separates the
+    # SAME file immediately after its v2.2_mdd sub-run (the reference's own
+    # second separation pass, seamless_splitter.py:1351); stashing the device
+    # pass halves hybrid's device work. Keyed by file identity; consumed
+    # (popped) by hybrid so it can never go stale across calls.
+    try:
+        import os
+
+        st = os.stat(input_path)
+        splitter._fused_pass_memo = (
+            (os.path.realpath(input_path), st.st_mtime_ns, st.st_size),
+            audio, sep, bundle,
+        )
+    except OSError:
+        pass
     features = bundle.features if bundle is not None else _features_fallback(audio, sr)
     if bundle is not None and bundle.vocal_energy is not None and len(audio):
         # refresh confidence from the fused scalar (the engine skipped its

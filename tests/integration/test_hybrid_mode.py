@@ -26,3 +26,35 @@ def test_hybrid_mdd_end_to_end(tmp_path, song_audio):
     recon = np.concatenate(pieces)
     q = np.round(np.clip(audio, -1, 1).astype(np.float64) * 8388607.0) / 8388607.0
     assert np.max(np.abs(recon.astype(np.float64) - q)) <= 1.0 / 8388607.0
+
+
+def test_hybrid_runs_one_device_pass_per_track(tmp_path, song_audio, monkeypatch):
+    """hybrid_mdd must REUSE the v2.2_mdd sub-run's separation+bundle (the
+    one-shot splitter stash) instead of separating the same audio twice."""
+    import audio_cut_tpu.separation.fused as fused_mod
+    from audio_cut_tpu.separation.engine import SeparationEngine
+
+    audio, sr = song_audio
+    p = tmp_path / "song.wav"
+    write_wav(p, audio, sr, subtype="FLOAT")
+
+    calls = {"fused": 0, "staged": 0}
+    orig_fused = fused_mod.separate_and_detect_fused
+    orig_staged = SeparationEngine.separate_for_detection
+
+    def counting_fused(*a, **k):
+        calls["fused"] += 1
+        return orig_fused(*a, **k)
+
+    def counting_staged(self, *a, **k):
+        calls["staged"] += 1
+        return orig_staged(self, *a, **k)
+
+    monkeypatch.setattr(fused_mod, "separate_and_detect_fused", counting_fused)
+    monkeypatch.setattr(SeparationEngine, "separate_for_detection", counting_staged)
+
+    manifest = separate_and_segment(
+        input_uri=str(p), export_dir=str(tmp_path / "out2"), mode="hybrid_mdd",
+    )
+    assert manifest["success"]
+    assert calls["fused"] + calls["staged"] == 1, calls
