@@ -78,6 +78,7 @@ class VocalPhraseBoundaryDetector:
         output_dir: Optional[str] = None,
         bundle=None,
         vocal_supplier=None,
+        vocal_device=None,
     ) -> VPBDDetectionResult:
         """``vocal_audio`` may be omitted when a DetectionBundle and a lazy
         ``vocal_supplier`` are given: acoustic candidates and beat risk then
@@ -91,9 +92,14 @@ class VocalPhraseBoundaryDetector:
         lyrics_meta: Optional[Dict[str, Any]] = None
         note: Optional[str] = None
 
-        # -- lyrics priors (vpbd_asr only; ASR copy needs the waveform) ------
+        # -- lyrics priors (vpbd_asr only) -----------------------------------
+        # the ASR copy is produced lazily AFTER the provider checks, and from
+        # the device stem when one exists (resample+quantize on device, only
+        # int16@16k crosses the tunnel) — the host waveform is a fallback
         if mode == "vpbd_asr":
-            timeline, lyrics_meta, fallback_reason = self._align_lyrics(vocal_supplier(), duration_s)
+            timeline, lyrics_meta, fallback_reason = self._align_lyrics(
+                vocal_supplier, duration_s, vocal_device=vocal_device
+            )
             if timeline is None:
                 effective_mode = str(get_config("vpbd.fallback_mode", "vpbd_acoustic"))
                 note = f"lyrics_unavailable:{fallback_reason}"
@@ -210,7 +216,7 @@ class VocalPhraseBoundaryDetector:
     # -- helpers -------------------------------------------------------------
 
     def _align_lyrics(
-        self, vocal_audio: np.ndarray, duration_s: float
+        self, vocal_supplier, duration_s: float, vocal_device=None
     ) -> Tuple[Optional[LyricsTimeline], Optional[Dict[str, Any]], Optional[str]]:
         enabled = bool(get_config("lyrics_alignment.enabled", False))
         strict = bool(get_config("lyrics_alignment.strict", False))
@@ -222,11 +228,20 @@ class VocalPhraseBoundaryDetector:
         try:
             if not provider.available():
                 raise LyricsAlignmentUnavailable(f"provider {provider.name} unavailable")
-            from audio_cut_tpu.io.audio import write_asr_copy
+            from audio_cut_tpu.io.audio import write_asr_copy, write_asr_copy_from_device
 
             with tempfile.TemporaryDirectory() as td:
                 asr_path = str(Path(td) / "vocal_16k.wav")
-                write_asr_copy(vocal_audio, self.sr, asr_path)
+                if vocal_device is not None:
+                    # resample+quantize on device: the full float stem never
+                    # crosses the tunnel for the ASR copy
+                    try:
+                        write_asr_copy_from_device(vocal_device, self.sr, asr_path)
+                    except Exception:
+                        logger.warning("device ASR copy failed; host path", exc_info=True)
+                        write_asr_copy(vocal_supplier(), self.sr, asr_path)
+                else:
+                    write_asr_copy(vocal_supplier(), self.sr, asr_path)
                 timeline = provider.align(AlignRequest(audio_path=asr_path, duration_s=duration_s))
             timeline.duration_s = timeline.duration_s or duration_s
             meta = {

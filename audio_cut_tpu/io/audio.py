@@ -153,6 +153,34 @@ def write_asr_copy(
     return save_audio(dest, res, asr_sr, subtype="PCM_16")
 
 
+def write_asr_copy_from_device(
+    audio_device,
+    sample_rate: int,
+    dest: Union[str, Path],
+    asr_sr: int = 16000,
+) -> str:
+    """Device-side ASR copy: resample to 16 kHz on the MXU (ops/resample.py)
+    and quantize to PCM_16 on the VPU, so only int16 @ 16 kHz crosses the
+    tunnel (~5.5x fewer bytes than the float stem the host path needs).
+    The anti-alias filter differs slightly from the host's scipy polyphase
+    (windowed-sinc+linear-interp vs kaiser) — both are valid detection
+    copies; ASR output is insensitive at this level (>40 dB agreement)."""
+    import jax
+
+    from audio_cut_tpu.io.wavio import write_wav_payload
+    from audio_cut_tpu.ops.pcm import pcm16_pack_graph
+    from audio_cut_tpu.ops.resample import resample_graph
+
+    def graph(x):
+        return pcm16_pack_graph(resample_graph(x, sample_rate, asr_sr))
+
+    i16 = np.asarray(jax.jit(graph)(audio_device))
+    p = Path(dest)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    write_wav_payload(p, i16.astype("<i2").tobytes(), asr_sr, bits=16, channels=1)
+    return str(p)
+
+
 def find_zero_crossings(audio: np.ndarray) -> np.ndarray:
     """Indices i where audio[i-1] and audio[i] straddle zero."""
     a = np.asarray(audio)

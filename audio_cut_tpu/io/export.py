@@ -49,6 +49,15 @@ def get_format(name: str) -> ExportFormat:
 
 
 def _write_wav(path: Path, audio: np.ndarray, sr: int, opts: Dict[str, Any]) -> str:
+    payload = opts.get("pcm24_payload")
+    if payload is not None and str(opts.get("subtype", "PCM_24")) == "PCM_24":
+        # pre-encoded device-quantized payload (ops/pcm.py): skip the host
+        # float->int pass; `audio` is the decoded equivalent for callers
+        from audio_cut_tpu.io.wavio import write_wav_payload
+
+        path.parent.mkdir(parents=True, exist_ok=True)
+        write_wav_payload(path, payload, sr, bits=24, channels=1)
+        return str(path)
     return save_audio(path, audio, sr, subtype=str(opts.get("subtype", "PCM_24")))
 
 

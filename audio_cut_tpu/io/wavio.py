@@ -148,6 +148,19 @@ def _encode_pcm(audio: np.ndarray, subtype: str) -> Tuple[bytes, int, int]:
     raise AudioIOError(f"unsupported WAV subtype: {subtype}")
 
 
+def write_wav_payload(
+    path: Union[str, Path],
+    payload: bytes,
+    sample_rate: int,
+    *,
+    bits: int = 24,
+    channels: int = 1,
+) -> None:
+    """Write a PRE-ENCODED PCM payload (e.g. device-quantized 24-bit planes,
+    ops/pcm.py) without a host float->int pass."""
+    _write_riff(path, payload, sample_rate, _FMT_PCM, bits, channels)
+
+
 def write_wav(
     path: Union[str, Path],
     audio: np.ndarray,
@@ -162,6 +175,17 @@ def write_wav(
         raise AudioIOError(f"audio must be 1-D or 2-D, got shape {arr.shape}")
     channels = arr.shape[1]
     payload, tag, bits = _encode_pcm(np.ascontiguousarray(arr, dtype=np.float32), subtype)
+    _write_riff(path, payload, sample_rate, tag, bits, channels)
+
+
+def _write_riff(
+    path: Union[str, Path],
+    payload: bytes,
+    sample_rate: int,
+    tag: int,
+    bits: int,
+    channels: int,
+) -> None:
     block_align = channels * (bits // 8)
     byte_rate = sample_rate * block_align
     fmt_chunk = struct.pack("<HHIIHH", tag, channels, sample_rate, byte_rate, block_align, bits)

@@ -14,8 +14,6 @@ Config: `vad.backend: energy_gate | conv`, `vad.checkpoint` for weights.
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
@@ -208,43 +206,6 @@ class ConvVAD:
         return VadResult(out, fps)
 
 
-@functools.lru_cache(maxsize=8)
-def _lowpass_taps(sr_in: int, n_taps: int = 127, cutoff_hz: float = 7500.0) -> np.ndarray:
-    """Windowed-sinc anti-alias FIR for the device resampler."""
-    m = np.arange(n_taps) - (n_taps - 1) / 2.0
-    h = 2.0 * cutoff_hz / sr_in * np.sinc(2.0 * cutoff_hz / sr_in * m)
-    h *= np.hamming(n_taps)
-    return (h / h.sum()).astype(np.float32)
-
-
-@functools.lru_cache(maxsize=8)
-def _resample_matrix(sr_in: int) -> Tuple[np.ndarray, int, int, int]:
-    """(W, up, down, left_pad): one dense per-frame matrix folding the
-    anti-alias FIR *and* the per-phase linear interpolation.
-
-    x16[up*q + p] = sum_c W[c, p] * x[down*q - left_pad + c] — so the whole
-    44.1 k -> 16 k resample is frames-of-x @ W, a dense (width x up) matmul
-    the MXU eats, instead of a single-channel dilated conv (which XLA
-    executes on the VPU at ~50x the cost — measured 0.5 s/track vs sub-ms).
-    """
-    taps = _lowpass_taps(sr_in).astype(np.float64)
-    n_taps = taps.size
-    half = (n_taps - 1) // 2
-    g = math.gcd(sr_in, VAD_SR)
-    up, down = VAD_SR // g, sr_in // g
-    width = down + n_taps - 1 + 1  # interp needs base and base+1
-    W = np.zeros((width, up), dtype=np.float64)
-    for p in range(up):
-        pos = p * down / up
-        base = int(pos)
-        frac = pos - base
-        for k in range(n_taps):
-            # x_lp[m] = sum_k taps[k] * x[m + k - half]
-            W[base + k, p] += taps[k] * (1.0 - frac)
-            W[base + 1 + k, p] += taps[k] * frac
-    return W.astype(np.float32), up, down, half
-
-
 _DEV_PROBS_CACHE: dict = {}
 
 
@@ -268,23 +229,11 @@ def device_probs_graph(params, x: jnp.ndarray, *, sr_in: int,
     while n_pad < n_windows:
         n_pad *= 2
 
-    # resample = frames-of-x @ W (anti-alias FIR + per-phase linear interp
-    # folded into one dense matrix — see _resample_matrix): lands on the MXU
-    # instead of the VPU's single-channel conv path. HIGHEST keeps f32 (TPU
-    # matmuls default to bf16, too coarse for audio).
-    Wmat, up, down, half = _resample_matrix(sr_in)
-    width = Wmat.shape[0]
-    n_frames = -(-out_len // up)
-    xp = jnp.pad(x, (half, max(0, n_frames * down + width - half - in_len)))
-    base = xp[: n_frames * down].reshape(n_frames, down)
-    # overlapping tail columns come from the NEXT frame's samples
-    ext_len = width - down
-    ext = xp[down: (n_frames + 1) * down].reshape(n_frames, down)[:, :ext_len]
-    frames = jnp.concatenate([base, ext], axis=1)
-    x16_full = jnp.matmul(
-        frames, jnp.asarray(Wmat), precision=jax.lax.Precision.HIGHEST
-    ).reshape(-1)
-    x16 = x16_full[:out_len]
+    # resample = frames-of-x @ W on the MXU (ops/resample.py; originated
+    # here, shared with the device ASR-copy path)
+    from audio_cut_tpu.ops.resample import resample_graph
+
+    x16 = resample_graph(x, sr_in, VAD_SR)
     padded = jnp.pad(x16, (halo, n_pad * interior + halo - out_len))
     windows = jnp.stack([
         jax.lax.dynamic_slice_in_dim(padded, k * interior, window)

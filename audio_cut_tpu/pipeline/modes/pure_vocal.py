@@ -177,6 +177,7 @@ def process_pure_vocal_split(
             output_dir=output_dir,
             bundle=bundle,
             vocal_supplier=vocal_host,
+            vocal_device=vocal_dev,
         )
         raw_points = [CutPoint(c.t, c.score, kind=c.source.value) for c in vres.selected]
         if not raw_points and vres.plan.rescue_points:

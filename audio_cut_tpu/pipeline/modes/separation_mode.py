@@ -11,6 +11,9 @@ import time
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
 
+import numpy as np
+
+from audio_cut_tpu.config import get_config
 from audio_cut_tpu.pipeline.result import (
     PRECISION_GUARD_AVG_MS,
     PRECISION_GUARD_P95_MS,
@@ -26,10 +29,38 @@ def process_vocal_separation(
 ) -> Dict[str, Any]:
     t0 = time.time()
     audio = splitter._load(input_path)
-    sep = splitter.separator.separate_for_detection(audio)
+    # need_instrumental=False keeps both stems device-resident: this mode
+    # downloads ONLY the vocal (one transfer) and reconstructs the
+    # instrumental host-side as mix - vocal (complement invariant holds for
+    # every backend; see SeparationResult.complement_instrumental). Halves
+    # the dominant device->host transfer of the stems-only mode.
+    sep = splitter.separator.separate_for_detection(audio, need_instrumental=False)
 
-    if sep.vocal_track is None:
+    if not sep.has_vocal:
         return {"success": False, "error": "vocal_separation_failed", "input_file": input_path}
+
+    vocal_payload = None
+    if (
+        sep.vocal_device is not None
+        and splitter._export_format == "wav"
+        and str((splitter._export_options or {}).get("subtype", "PCM_24")) == "PCM_24"
+        and bool(get_config("device_pipeline.pcm24_stem_download", True))
+    ):
+        # quantize the vocal to the export grid ON DEVICE and download 3
+        # bytes/sample instead of 4 (ops/pcm.py); the host complement below
+        # then uses exactly the values the file decodes to
+        import jax
+
+        from audio_cut_tpu.ops.pcm import (
+            pcm24_pack_graph,
+            pcm24_planes_to_float,
+            pcm24_planes_to_payload,
+        )
+
+        planes = np.asarray(jax.jit(pcm24_pack_graph)(sep.vocal_device))
+        vocal_payload = pcm24_planes_to_payload(planes)
+        sep.vocal_track = pcm24_planes_to_float(planes)
+    sep.complement_instrumental(audio)
 
     flags = splitter._normalize_export_plan(
         export_plan, default=("full_vocal", "full_instrumental")
@@ -41,11 +72,14 @@ def process_vocal_separation(
 
     if "full_vocal" in flags:
         dur = len(sep.vocal_track) / float(sr)
+        vocal_opts = dict(splitter._export_options or {})
+        if vocal_payload is not None:
+            vocal_opts["pcm24_payload"] = vocal_payload
         full_vocal = splitter.segment_exporter.export_full_track(
             sep.vocal_track,
             Path(output_dir) / f"{stem}_vocal_{dur:.1f}",
             export_format=splitter._export_format,
-            export_options=splitter._export_options,
+            export_options=vocal_opts,
         )
         saved.append(full_vocal)
 

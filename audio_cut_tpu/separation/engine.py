@@ -244,6 +244,29 @@ class SeparationResult:
         """True when a vocal stem exists (host or device) WITHOUT downloading."""
         return self._vocal_host is not None or self.vocal_device is not None
 
+    def complement_instrumental(self, mix: np.ndarray) -> Optional[np.ndarray]:
+        """Materialize the instrumental as ``mix - vocal`` ON THE HOST.
+
+        Every backend window forward returns complementary stems
+        (inst = window - vocal: models/convtdf.py:291, models/waveunet.py:210,
+        onnx_backend.py:180, backends.py spectral run()), and the OLA weights
+        are a partition of unity, so the device instrumental equals
+        (reconstructed mix - vocal) up to float association. Computing it from
+        the ORIGINAL host mix instead of downloading it skips the second
+        full-track transfer (over the tunnel the download costs more than the
+        whole separation compute) and is strictly higher fidelity: the device
+        stem subtracts the int16-quantized upload mix (~-90 dB), the host
+        complement subtracts the exact one. No-op when a host instrumental
+        already exists (CPU/chunked fallback paths)."""
+        if self._inst_host is None:
+            v = self.vocal_track  # may download the vocal (one transfer)
+            if v is not None:
+                n = v.shape[-1]
+                self._inst_host = (
+                    np.asarray(mix[..., :n], dtype=np.float32) - v
+                )
+        return self._inst_host
+
 
 class SeparationEngine:
     """Orchestrates backend windows over the chunk schedule."""

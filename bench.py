@@ -7,8 +7,8 @@ Headline metric = the DEFAULT pipeline path (v2.2_mdd with the configured
 default separation backend) on a synthetic 60 s song, measured WARM (best of
 3 in-process runs; compile amortises across tracks in production). The
 ``modes`` map adds the other benchmark configs from BASELINE.md: the
-model-free spectral tier, vpbd_asr (fake lyrics provider), hybrid_mdd, and
-vocal_separation (full-stem export). `vs_baseline` compares the headline
+model-free spectral tier, vpbd_asr (fake lyrics provider), hybrid_mdd,
+vocal_separation (full-stem export), and librosa_onset (CPU-feature mode). `vs_baseline` compares the headline
 against the reference's own separation throughput target of 0.7x realtime on
 GPU (reference README.md:138, BASELINE.md).
 
@@ -91,6 +91,7 @@ MODES = [
     ("vpbd_asr", "vpbd_asr", "ASR"),
     ("hybrid_mdd", "hybrid_mdd", {}),
     ("vocal_separation", "vocal_separation", {}),
+    ("librosa_onset", "librosa_onset", {}),
 ]
 
 rows = {}

@@ -91,3 +91,33 @@ def test_vocal_separation_mode(tmp_path, song_file):
     # stems sum back to the mix within PCM_24 quantization error
     err = np.abs((v.astype(np.float64) + i.astype(np.float64)) - audio.astype(np.float64)).max()
     assert err < 3e-4
+
+
+def test_vocal_separation_downloads_only_vocal(tmp_path, song_file, monkeypatch):
+    """stems-only mode must reconstruct the instrumental host-side (mix -
+    vocal) instead of downloading the second full-track stem."""
+    from audio_cut_tpu.separation.engine import SeparationResult
+
+    orig = SeparationResult.instrumental_track
+
+    def guarded(self):
+        assert self._inst_host is not None or self.instrumental_device is None, (
+            "instrumental must come from the host complement, not a device download"
+        )
+        return orig.fget(self)
+
+    monkeypatch.setattr(
+        SeparationResult, "instrumental_track", property(guarded, orig.fset)
+    )
+    p, audio, sr = song_file
+    out = tmp_path / "sep_fast"
+    manifest = separate_and_segment(
+        input_uri=str(p), export_dir=str(out), mode="vocal_separation",
+    )
+    assert manifest["success"]
+    arts = manifest["artifacts"]
+    v, _ = read_wav(out / arts["vocal_full"])
+    i, _ = read_wav(out / arts["instrumental_full"])
+    # host complement: stems sum to the mix within TWO PCM_24 quantizations
+    err = np.abs((v.astype(np.float64) + i.astype(np.float64)) - audio.astype(np.float64)).max()
+    assert err <= 2.5 / 8388607.0
