@@ -11,8 +11,10 @@ remain honest:
 
 * no Karplus-Strong plucks, no stepped natural-minor melodies, no hi-hat
   differentiated-noise bursts, no bowed vibrato pad (those are eval-only);
-* instead: pulse-train and breathy voices, falsetto, pentatonic riff
-  contours, organ/brass/e-piano/FM-bell/tom instrument classes.
+* instead: pulse-train, breathy, falsetto, hum, whisper (formant noise,
+  unvoiced), growl (subharmonic) and yodel (octave-jump) voices; pentatonic
+  riff contours; organ/brass/e-piano/FM-bell/tom/detuned-reed/chiptune/
+  clap/distorted-sub-bass instrument classes.
 
 `synth_pair_rich` draws one vocal class and 2-3 instrument classes per pair.
 Training legs mix classic and rich pairs (scripts/train_separator.py
@@ -52,10 +54,32 @@ def _riff_f0(rng: np.random.Generator, n: int) -> np.ndarray:
     return np.interp(np.arange(n), knots, targets)
 
 
+def _vocal_whisper(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Unvoiced whisper: formant-shaped noise with syllable gating and NO
+    harmonic structure — teaches the separator that 'vocal' is not 'tonal'."""
+    t = np.arange(n) / SR
+    f1, f2 = _FORMANTS[rng.integers(len(_FORMANTS))]
+    freqs = np.fft.rfftfreq(n, 1 / SR)
+    shape = (
+        np.exp(-0.5 * ((freqs - f1) / rng.uniform(250, 500)) ** 2)
+        + 0.8 * np.exp(-0.5 * ((freqs - f2) / rng.uniform(400, 800)) ** 2)
+        + 0.25 * np.exp(-0.5 * ((freqs - 5500) / 1500.0) ** 2)  # sibilance
+    )
+    x = np.fft.irfft(np.fft.rfft(rng.standard_normal(n)) * shape, n)
+    x /= max(1e-9, np.abs(x).max())
+    # syllable gating: 2.5-7 Hz raised-cosine bursts
+    gate = np.clip(np.sin(2 * np.pi * rng.uniform(2.5, 7.0) * t
+                          + rng.uniform(0, 6.28)), 0.0, None) ** rng.uniform(0.7, 2.0)
+    edge = np.minimum(1.0, np.minimum(np.arange(n), n - np.arange(n)) / (0.02 * SR))
+    return (x * (0.2 + 0.8 * gate) * edge).astype(np.float32)
+
+
 def _vocal_rich(rng: np.random.Generator, n: int) -> np.ndarray:
     """One phrase from a randomly drawn vocal class."""
     t = np.arange(n) / SR
-    cls = rng.integers(4)
+    cls = rng.integers(7)
+    if cls == 4:      # whisper: pure formant noise (no harmonic loop below)
+        return _vocal_whisper(rng, n)
     if cls == 0:      # pulse-train voice: dense harmonics, slow rolloff
         f0 = _riff_f0(rng, n)
         rolloff, n_h, f0_mul = rng.uniform(0.5, 0.9), 24, 1.0
@@ -68,10 +92,21 @@ def _vocal_rich(rng: np.random.Generator, n: int) -> np.ndarray:
         f0 = _riff_f0(rng, n)
         rolloff, n_h, f0_mul = rng.uniform(1.6, 2.4), 4, rng.uniform(1.8, 2.6)
         noise_amt = rng.uniform(0.0, 0.15)
-    else:             # hum: odd harmonics only (handled in the loop)
+    elif cls == 3:    # hum: odd harmonics only (handled in the loop)
         f0 = _riff_f0(rng, n)
         rolloff, n_h, f0_mul = rng.uniform(0.9, 1.3), 9, rng.uniform(0.6, 1.0)
         noise_amt = 0.0
+    elif cls == 5:    # growl: subharmonic at f0/2 under a full voice
+        f0 = _riff_f0(rng, n)
+        rolloff, n_h, f0_mul = rng.uniform(0.7, 1.1), 14, rng.uniform(0.5, 0.8)
+        noise_amt = rng.uniform(0.05, 0.2)
+    else:             # yodel: alternating octave register jumps
+        f0 = _riff_f0(rng, n)
+        jump_rate = rng.uniform(1.5, 4.0)
+        reg = (np.sin(2 * np.pi * jump_rate * t + rng.uniform(0, 6.28)) > 0)
+        f0 = f0 * np.where(reg, 2.0, 1.0)
+        rolloff, n_h, f0_mul = rng.uniform(0.9, 1.4), 10, 1.0
+        noise_amt = rng.uniform(0.0, 0.1)
     f0 = f0 * f0_mul
     vib = 1 + rng.uniform(0.008, 0.035) * np.sin(
         2 * np.pi * rng.uniform(4.0, 7.5) * t + rng.uniform(0, 6.28))
@@ -87,6 +122,9 @@ def _vocal_rich(rng: np.random.Generator, n: int) -> np.ndarray:
             break
         gain = _formant_gain(np.array([fh]), f1, f2)[0] / (h ** rolloff)
         x += gain * np.sin(h * phase + rng.uniform(0, 6.28))
+    if cls == 5:
+        # the growl subharmonic: period-doubled roughness under the voice
+        x += rng.uniform(0.25, 0.5) * np.sin(0.5 * phase + rng.uniform(0, 6.28))
     if noise_amt > 0:
         # breath noise shaped to follow the voiced envelope
         band = np.fft.irfft(
@@ -198,7 +236,72 @@ def _inst_toms(rng: np.random.Generator, n: int) -> np.ndarray:
     return out
 
 
-_INST_CLASSES = (_inst_organ, _inst_brass, _inst_epiano, _inst_fmbell, _inst_toms)
+def _inst_reeds(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Accordion/harmonica: sustained detuned DOUBLE reeds (two slightly
+    offset harmonic stacks beating against each other)."""
+    t = np.arange(n) / SR
+    root = rng.uniform(150, 450)
+    detune = rng.uniform(1.5, 5.0)  # Hz beat between the reed pair
+    out = np.zeros(n)
+    for f in (root, root + detune):
+        for h in range(1, 8):
+            out += (rng.uniform(0.02, 0.06) / h ** 0.8) * np.sin(
+                2 * np.pi * f * h * t + rng.uniform(0, 6.28))
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.1, 0.4) * t + rng.uniform(0, 6.28))
+    return (out * env).astype(np.float32)
+
+
+def _inst_chiptune(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Square-wave arpeggio: hard-edged odd-harmonic notes at 1/16 grid."""
+    period = rng.uniform(0.09, 0.18)
+    root = rng.uniform(150, 400)
+    chord = [root * 2 ** (d / 12.0) for d in (0, 3, 7, 12)]
+    out = np.zeros(n, np.float32)
+    k = 0
+    for onset in np.arange(rng.uniform(0, period), n / SR - 0.03, period):
+        i = int(onset * SR)
+        pn = min(int(period * 0.9 * SR), n - i)
+        if pn <= 0:
+            continue
+        tt = np.arange(pn) / SR
+        f = chord[k % len(chord)]
+        sq = np.sign(np.sin(2 * np.pi * f * tt) + 1e-12)
+        out[i:i + pn] += (rng.uniform(0.04, 0.12) * sq).astype(np.float32)
+        k += 1
+    return out
+
+
+def _inst_claps(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Broadband clap/snare bursts: body-toned noise, fast decay (distinct
+    from the eval family's differentiated-noise hi-hats)."""
+    period = rng.uniform(0.5, 1.1)
+    out = np.zeros(n, np.float32)
+    freqs = np.fft.rfftfreq(int(0.12 * SR), 1 / SR)
+    body = np.exp(-0.5 * ((freqs - rng.uniform(800, 2200)) / 1200.0) ** 2) + 0.3
+    for onset in np.arange(rng.uniform(0.1, period), n / SR - 0.13, period):
+        i = int(onset * SR)
+        pn = min(int(0.12 * SR), n - i)
+        burst = np.fft.irfft(np.fft.rfft(rng.standard_normal(int(0.12 * SR))) * body,
+                             int(0.12 * SR))[:pn]
+        burst /= max(1e-9, np.abs(burst).max())
+        tt = np.arange(pn) / SR
+        out[i:i + pn] += (rng.uniform(0.15, 0.35) * burst
+                          * np.exp(-tt / rng.uniform(0.02, 0.05))).astype(np.float32)
+    return out
+
+
+def _inst_dirty_bass(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Distorted sub-bass: low sine through tanh, harmonics bloom with drive."""
+    t = np.arange(n) / SR
+    root = rng.uniform(35, 80)
+    gate = (np.sin(2 * np.pi * rng.uniform(0.4, 1.2) * t + rng.uniform(0, 6.28)) > -0.4)
+    drive = rng.uniform(2.0, 6.0)
+    x = np.tanh(drive * np.sin(2 * np.pi * root * t)) / np.tanh(drive)
+    return (rng.uniform(0.1, 0.3) * x * gate).astype(np.float32)
+
+
+_INST_CLASSES = (_inst_organ, _inst_brass, _inst_epiano, _inst_fmbell, _inst_toms,
+                 _inst_reeds, _inst_chiptune, _inst_claps, _inst_dirty_bass)
 
 
 def instrumental_stem_rich(rng: np.random.Generator, n: int) -> np.ndarray:
