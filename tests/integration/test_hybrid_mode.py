@@ -58,3 +58,32 @@ def test_hybrid_runs_one_device_pass_per_track(tmp_path, song_audio, monkeypatch
     )
     assert manifest["success"]
     assert calls["fused"] + calls["staged"] == 1, calls
+
+
+def test_hybrid_memo_never_crosses_files(tmp_path, song_audio):
+    """A stale v2.2 pass for a DIFFERENT file must not be reused by hybrid."""
+    from audio_cut_tpu.pipeline.splitter import SmartSplitter
+    from audio_cut_tpu.pipeline.modes.hybrid import process_hybrid_mdd
+
+    audio, sr = song_audio
+    p1 = tmp_path / "a.wav"
+    p2 = tmp_path / "b.wav"
+    write_wav(p1, audio, sr, subtype="FLOAT")
+    write_wav(p2, (audio * 0.5).astype(np.float32), sr, subtype="FLOAT")
+
+    splitter = SmartSplitter(sample_rate=sr)
+    r1 = splitter.split_audio_seamlessly(str(p1), str(tmp_path / "o1"), mode="v2.2_mdd")
+    assert r1["success"]
+    # the memo now points at a.wav; run hybrid on b.wav — it must separate
+    # b.wav itself, not reuse a.wav's stems
+    memo = getattr(splitter, "_fused_pass_memo", None)
+    assert memo is not None
+    r2 = process_hybrid_mdd(splitter, str(p2), str(tmp_path / "o2"))
+    assert r2["success"]
+    # reconstruction must reproduce b.wav (not a.wav): stale reuse would fail
+    b = (audio * 0.5).astype(np.float32)
+    pieces = [read_wav(f)[0] for f in r2["saved_files"] if str(f).endswith(".wav")]
+    recon = np.concatenate(pieces)
+    q = np.round(np.clip(b, -1, 1).astype(np.float64) * 8388607.0) / 8388607.0
+    assert recon.size == b.size
+    assert np.max(np.abs(recon.astype(np.float64) - q)) <= 1.0 / 8388607.0
