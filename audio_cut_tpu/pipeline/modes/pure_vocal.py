@@ -85,9 +85,12 @@ def process_pure_vocal_split(
             logger.warning("fused single-program path unavailable (%s); staged path", exc)
             sep = bundle = None
     if sep is None:
-        sep = splitter.separator.separate_for_detection(
-            audio, need_instrumental="full_instrumental" in export_flags
-        )
+        # stems stay device-resident even when full_instrumental is in the
+        # export plan: the vocal downloads once (other exporters need it
+        # anyway) and the instrumental is reconstructed host-side as
+        # mix - vocal at export time (complement invariant; one transfer
+        # instead of a stacked two-stem pull)
+        sep = splitter.separator.separate_for_detection(audio, need_instrumental=False)
     vocal_dev = getattr(sep, "vocal_device", None)
 
     def vocal_host() -> np.ndarray:
@@ -403,6 +406,8 @@ def process_pure_vocal_split(
             export_options=splitter._export_options,
         )
         export_result.saved_files.append(export_result.full_vocal_file)
+    if "full_instrumental" in export_flags:
+        sep.complement_instrumental(audio)  # host mix - vocal, no download
     if "full_instrumental" in export_flags and sep.instrumental_track is not None:
         instrumental = sep.instrumental_track
         dur = len(instrumental) / float(sr)

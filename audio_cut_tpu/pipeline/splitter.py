@@ -142,9 +142,12 @@ class SmartSplitter:
         separation_result = None
         if cfg.get("use_vocal_separation", True):
             try:
-                separation_result = self.separator.separate_for_detection(audio)
+                separation_result = self.separator.separate_for_detection(
+                    audio, need_instrumental=False
+                )
                 vocal = separation_result.vocal_track
-                instrumental = separation_result.instrumental_track
+                # host complement: one stem transfer instead of a stacked two
+                instrumental = separation_result.complement_instrumental(audio)
             except Exception as exc:  # pragma: no cover - depends on backend avail
                 logger.warning("vocal separation unavailable (%s); continuing without", exc)
 
