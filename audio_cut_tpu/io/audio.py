@@ -153,6 +153,26 @@ def write_asr_copy(
     return save_audio(dest, res, asr_sr, subtype="PCM_16")
 
 
+_ASR_COPY_FNS: dict = {}
+
+
+def _asr_copy_fn(sample_rate: int, asr_sr: int):
+    """Jitted resample+PCM16 program, cached per (sr_in, sr_out) — a fresh
+    closure per call would recompile for every track (XLA also re-specializes
+    per input length, which track-length bucketing keeps bounded)."""
+    key = (sample_rate, asr_sr)
+    if key not in _ASR_COPY_FNS:
+        import jax
+
+        from audio_cut_tpu.ops.pcm import pcm16_pack_graph
+        from audio_cut_tpu.ops.resample import resample_graph
+
+        _ASR_COPY_FNS[key] = jax.jit(
+            lambda x: pcm16_pack_graph(resample_graph(x, sample_rate, asr_sr))
+        )
+    return _ASR_COPY_FNS[key]
+
+
 def write_asr_copy_from_device(
     audio_device,
     sample_rate: int,
@@ -165,16 +185,20 @@ def write_asr_copy_from_device(
     The anti-alias filter differs slightly from the host's scipy polyphase
     (windowed-sinc+linear-interp vs kaiser) — both are valid detection
     copies; ASR output is insensitive at this level (>40 dB agreement)."""
-    import jax
+    import jax.numpy as jnp
 
     from audio_cut_tpu.io.wavio import write_wav_payload
-    from audio_cut_tpu.ops.pcm import pcm16_pack_graph
-    from audio_cut_tpu.ops.resample import resample_graph
+    from audio_cut_tpu.separation.engine import PAD_BUCKET_S
 
-    def graph(x):
-        return pcm16_pack_graph(resample_graph(x, sample_rate, asr_sr))
-
-    i16 = np.asarray(jax.jit(graph)(audio_device))
+    # bucket-pad so the jitted program re-specializes per 15 s bucket, not
+    # per exact track length; the zero tail's filter bleed lies beyond
+    # out_len, so slicing on the host is exact
+    n = int(audio_device.shape[-1])
+    bucket = int(round(PAD_BUCKET_S * sample_rate))
+    padded = max(bucket, -(-n // bucket) * bucket)
+    out_len = int(round(n * asr_sr / sample_rate))
+    xp = jnp.pad(audio_device, (0, padded - n)) if padded != n else audio_device
+    i16 = np.asarray(_asr_copy_fn(sample_rate, asr_sr)(xp))[:out_len]
     p = Path(dest)
     p.parent.mkdir(parents=True, exist_ok=True)
     write_wav_payload(p, i16.astype("<i2").tobytes(), asr_sr, bits=16, channels=1)
