@@ -51,6 +51,19 @@ def pcm16_pack_graph(x):
     return q.astype(jnp.int16)
 
 
+_JITTED: dict = {}
+
+
+def pcm24_pack_fn():
+    """Module-cached jitted pcm24_pack_graph (a fresh jax.jit wrapper per
+    call would carry its own compile cache and recompile every track)."""
+    if "pack24" not in _JITTED:
+        import jax
+
+        _JITTED["pack24"] = jax.jit(pcm24_pack_graph)
+    return _JITTED["pack24"]
+
+
 def pcm24_planes_to_payload(planes: np.ndarray) -> bytes:
     """uint8 planes [3, n] -> packed little-endian 24-bit PCM payload."""
     planes = np.asarray(planes)

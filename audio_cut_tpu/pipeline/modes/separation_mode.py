@@ -28,6 +28,7 @@ def process_vocal_separation(
     export_plan: Optional[Sequence[str]] = None,
 ) -> Dict[str, Any]:
     t0 = time.time()
+    sr = splitter.sample_rate
     audio = splitter._load(input_path)
     # need_instrumental=False keeps both stems device-resident: this mode
     # downloads ONLY the vocal (one transfer) and reconstructs the
@@ -49,15 +50,24 @@ def process_vocal_separation(
         # quantize the vocal to the export grid ON DEVICE and download 3
         # bytes/sample instead of 4 (ops/pcm.py); the host complement below
         # then uses exactly the values the file decodes to
-        import jax
+        import jax.numpy as jnp
 
         from audio_cut_tpu.ops.pcm import (
-            pcm24_pack_graph,
+            pcm24_pack_fn,
             pcm24_planes_to_float,
             pcm24_planes_to_payload,
         )
+        from audio_cut_tpu.separation.engine import PAD_BUCKET_S
 
-        planes = np.asarray(jax.jit(pcm24_pack_graph)(sep.vocal_device))
+        # bucket-pad so the pack program re-specializes per 15 s bucket,
+        # not per exact track length (same rule as the ASR-copy program)
+        vd = sep.vocal_device
+        n = int(vd.shape[-1])
+        bucket = int(round(PAD_BUCKET_S * sr))
+        padded = max(bucket, -(-n // bucket) * bucket)
+        if padded != n:
+            vd = jnp.pad(vd, (0, padded - n))
+        planes = np.asarray(pcm24_pack_fn()(vd))[:, :n]
         vocal_payload = pcm24_planes_to_payload(planes)
         sep.vocal_track = pcm24_planes_to_float(planes)
     sep.complement_instrumental(audio)
@@ -66,7 +76,6 @@ def process_vocal_separation(
         export_plan, default=("full_vocal", "full_instrumental")
     )
     stem = Path(input_path).stem
-    sr = splitter.sample_rate
     saved = []
     full_vocal = full_inst = None
 
