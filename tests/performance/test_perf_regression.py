@@ -160,3 +160,53 @@ def test_program_cache_shared_across_engine_instances():
     e2 = SeparationEngine(sr, backend="spectral")
     e2.separate_on_device(audio)
     assert len(_OLA_PROGRAM_CACHE) == n_after_first
+
+
+def test_zero_recompile_transfer_programs(song_file):
+    """vocal_separation (device pcm24 pack) and vpbd_asr (device ASR copy)
+    must be compile-free on warm repeat calls — their pack/resample programs
+    are module-cached and bucket-padded (docs/development.md r3 rules)."""
+    from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+
+    p, audio, sr, td = song_file
+    duration = len(audio) / sr
+    tl = {
+        "words": [{"text": f"w{k}", "start_s": 1.0 + 0.8 * k,
+                   "end_s": 1.45 + 0.8 * k, "confidence": 0.9}
+                  for k in range(int((duration - 3) / 0.8))],
+        "sentences": [{"text": "s", "start_s": 1.0, "end_s": duration - 1,
+                       "confidence": 0.9}],
+        "vad_regions": [], "duration_s": duration, "language": "en",
+    }
+    tl_path = td / "tl.json"
+    tl_path.write_text(json.dumps(tl))
+    asr_overrides = {
+        "lyrics_alignment.enabled": True,
+        "lyrics_alignment.provider": "fake",
+        "lyrics_alignment.fixture_path": str(tl_path),
+    }
+
+    for mode, overrides in (("vocal_separation", {}), ("vpbd_asr", asr_overrides)):
+        try:
+            set_runtime_config(dict(overrides))
+            separate_and_segment(input_uri=str(p), export_dir=str(td / f"{mode}_w"),
+                                 mode=mode)
+            counter = _CompileCounter()
+            jax.config.update("jax_log_compiles", True)
+            jax_logger = logging.getLogger("jax")
+            jax_logger.addHandler(counter)
+            old_level = jax_logger.level
+            jax_logger.setLevel(logging.DEBUG)
+            try:
+                m = separate_and_segment(
+                    input_uri=str(p), export_dir=str(td / f"{mode}_r"), mode=mode)
+                assert m["success"]
+            finally:
+                jax.config.update("jax_log_compiles", False)
+                jax_logger.removeHandler(counter)
+                jax_logger.setLevel(old_level)
+            assert counter.count == 0, (
+                f"{mode}: {counter.count} recompiles on a warm call"
+            )
+        finally:
+            reset_runtime_config()
