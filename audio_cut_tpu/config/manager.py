@@ -88,6 +88,7 @@ class ConfigManager:
         self._explicit_path = config_path
         self._runtime_keys: set[str] = set()
         self.config: Dict[str, Any] = {}
+        self._generation = 0
         self.reload()
 
     # -- loading ---------------------------------------------------------
@@ -101,6 +102,7 @@ class ConfigManager:
             self.config = cfg
             self._baseline = copy.deepcopy(cfg)
             self._runtime_keys = set()
+            self._generation = getattr(self, "_generation", 0) + 1
             self._validate(cfg)
 
     def _layers(self) -> Iterable[Mapping[str, Any]]:
@@ -160,11 +162,13 @@ class ConfigManager:
             for dotted, value in overrides.items():
                 set_nested(self.config, dotted, value)
                 self._runtime_keys.add(dotted)
+            self._generation += 1
 
     def reset_runtime(self) -> None:
         with self._lock:
             self.config = copy.deepcopy(self._baseline)
             self._runtime_keys = set()
+            self._generation += 1
 
     def runtime_override_keys(self) -> set[str]:
         with self._lock:
@@ -177,6 +181,13 @@ class ConfigManager:
     def restore(self, snapshot: Mapping[str, Any]) -> None:
         with self._lock:
             self.config = copy.deepcopy(dict(snapshot))
+            self._generation += 1
+
+    def generation(self) -> int:
+        """Monotonic counter bumped on every config mutation; cheap cache
+        key for derived state that must not survive a config change."""
+        with self._lock:
+            return self._generation
 
 
 _manager: Optional[ConfigManager] = None

@@ -66,8 +66,11 @@ def process_hybrid_mdd(
     if memo is not None:
         splitter._fused_pass_memo = None
         try:
+            from audio_cut_tpu.config import get_config_manager
+
             st = os.stat(input_path)
-            key = (os.path.realpath(input_path), st.st_mtime_ns, st.st_size)
+            key = (os.path.realpath(input_path), st.st_mtime_ns, st.st_size,
+                   get_config_manager().generation())
         except OSError:
             key = None
         if key is not None and memo[0] == key:

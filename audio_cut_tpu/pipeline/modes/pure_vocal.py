@@ -112,9 +112,12 @@ def process_pure_vocal_split(
     try:
         import os
 
+        from audio_cut_tpu.config import get_config_manager
+
         st = os.stat(input_path)
         splitter._fused_pass_memo = (
-            (os.path.realpath(input_path), st.st_mtime_ns, st.st_size),
+            (os.path.realpath(input_path), st.st_mtime_ns, st.st_size,
+             get_config_manager().generation()),
             audio, sep, bundle,
         )
     except OSError:
