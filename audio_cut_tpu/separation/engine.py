@@ -205,14 +205,18 @@ class SeparationResult:
         usually refreshes this from its own fused scalar; reading it before
         that costs one device scalar reduction, not a stem download."""
         if self._confidence is None:
-            if self.vocal_device is not None and self._mix_energy is not None:
+            if self._mix_energy is not None and self._vocal_host is not None:
+                # host stem already materialized: no tunnel round-trip
+                e_voc = float(np.mean(np.square(self._vocal_host, dtype=np.float64)))
+            elif self.vocal_device is not None and self._mix_energy is not None:
                 import jax.numpy as jnp
 
                 e_voc = float(jnp.mean(jnp.square(self.vocal_device)))
-                ratio = e_voc / (self._mix_energy + 1e-12)
-                self._confidence = float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
             else:
                 self._confidence = 0.0
+                return self._confidence
+            ratio = e_voc / (self._mix_energy + 1e-12)
+            self._confidence = float(np.clip(1.0 - abs(ratio - 0.35) / 0.65, 0.1, 0.99))
         return self._confidence
 
     @separation_confidence.setter
