@@ -77,6 +77,19 @@ def select_device(prefer: Optional[str] = None):
     devices = jax.devices()
     if prefer:
         want = prefer.split(":")[0].lower()
+        # migration compat: reference configs/flags say cuda:N / gpu:N
+        # (run_splitter.py --gpu-device); map them to "any accelerator".
+        if want in ("cuda", "gpu"):
+            accel = [d for d in devices if d.platform.lower() != "cpu"]
+            if accel:
+                idx = 0
+                if ":" in prefer:
+                    try:
+                        idx = int(prefer.split(":")[1])
+                    except ValueError:
+                        idx = 0
+                return accel[min(idx, len(accel) - 1)]
+            want = "cpu"  # no accelerator present
         matches = [d for d in devices if d.platform.lower().startswith(want)]
         if matches:
             idx = 0
