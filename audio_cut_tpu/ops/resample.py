@@ -63,12 +63,18 @@ def resample_graph(x, sr_in: int, sr_out: int):
     Wmat, up, down, half = resample_matrix(sr_in, sr_out)
     width = Wmat.shape[0]
     n_frames = -(-out_len // up)
-    xp = jnp.pad(x, (half, max(0, n_frames * down + width - half - in_len)))
-    base = xp[: n_frames * down].reshape(n_frames, down)
-    # overlapping tail columns come from the NEXT frame's samples
-    ext_len = width - down
-    ext = xp[down: (n_frames + 1) * down].reshape(n_frames, down)[:, :ext_len]
-    frames = jnp.concatenate([base, ext], axis=1)
+    n_shift = -(-width // down)  # shifted reshapes needed to cover `width`
+    xp = jnp.pad(
+        x, (half, max(0, (n_frames + n_shift - 1) * down + width - half - in_len))
+    )
+    # overlapping frame columns come from dense shifted reshapes (gathers are
+    # slow on this chip, see ops/frames.py); shift j supplies columns
+    # [j*down, (j+1)*down) of each width-wide frame
+    parts = [
+        xp[j * down: (n_frames + j) * down].reshape(n_frames, down)
+        for j in range(n_shift)
+    ]
+    frames = jnp.concatenate(parts, axis=1)[:, :width]
     full = jnp.matmul(
         frames, jnp.asarray(Wmat), precision=jax.lax.Precision.HIGHEST
     ).reshape(-1)

@@ -34,6 +34,27 @@ def test_resample_graph_matches_host_polyphase():
     assert _snr_db(host[m:-m], dev[m:-m]) > 30.0
 
 
+def test_resample_graph_small_down_factor():
+    """Rate pairs where down < n_taps (e.g. 44.1k->22.05k, down=2) need more
+    than one shifted reshape to cover the frame width — regression for the
+    two-part framing that only supported down >= n_taps."""
+    import jax
+
+    sr_in, sr_out = 44100, 22050
+    rng = np.random.default_rng(1)
+    t = np.arange(sr_in * 2) / sr_in
+    x = np.zeros_like(t, dtype=np.float64)
+    for f in (330.0, 880.0, 3100.0):
+        x += rng.uniform(0.1, 0.3) * np.sin(2 * np.pi * f * t)
+    x = (0.8 * x / np.abs(x).max()).astype(np.float32)
+
+    dev = np.asarray(jax.jit(lambda a: resample_graph(a, sr_in, sr_out))(x))
+    host = resample_poly(x, sr_in, sr_out)
+    assert dev.size == int(round(x.size * sr_out / sr_in))
+    m = 2000
+    assert _snr_db(host[m:-m], dev[m:-m]) > 30.0
+
+
 def test_device_asr_copy_file(tmp_path):
     """write_asr_copy_from_device emits a 16 kHz PCM_16 file equivalent to
     the host path within quantization + filter difference."""
