@@ -44,10 +44,17 @@ def process_hybrid_mdd(
     sr = splitter.sample_rate
     hcfg = get_config("hybrid_mdd", {}) or {}
 
-    # 1. v2.2_mdd sub-run for the MDD cuts (no export)
-    base = splitter.split_audio_seamlessly(
-        input_path, output_dir, mode="v2.2_mdd", export_plan=("none",)
-    )
+    # 1. v2.2_mdd sub-run for the MDD cuts (no export); ask it to stash its
+    # device pass so step 2 runs ONE separation+bundle per track. Standalone
+    # v2.2_mdd runs never stash (the memo would pin a track's stems in HBM
+    # after the call returned).
+    splitter._want_fused_pass_memo = True
+    try:
+        base = splitter.split_audio_seamlessly(
+            input_path, output_dir, mode="v2.2_mdd", export_plan=("none",)
+        )
+    finally:
+        splitter._want_fused_pass_memo = False
     if not base.get("success"):
         return base
     mdd_cuts = [

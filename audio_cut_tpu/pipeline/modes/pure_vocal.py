@@ -108,20 +108,23 @@ def process_pure_vocal_split(
     # SAME file immediately after its v2.2_mdd sub-run (the reference's own
     # second separation pass, seamless_splitter.py:1351); stashing the device
     # pass halves hybrid's device work. Keyed by file identity; consumed
-    # (popped) by hybrid so it can never go stale across calls.
-    try:
-        import os
+    # (popped) by hybrid so it can never go stale across calls. Only stashed
+    # when hybrid asked for it — a standalone run must not pin the track's
+    # stems in HBM after it returns.
+    if getattr(splitter, "_want_fused_pass_memo", False):
+        try:
+            import os
 
-        from audio_cut_tpu.config import get_config_manager
+            from audio_cut_tpu.config import get_config_manager
 
-        st = os.stat(input_path)
-        splitter._fused_pass_memo = (
-            (os.path.realpath(input_path), st.st_mtime_ns, st.st_size,
-             get_config_manager().generation()),
-            audio, sep, bundle,
-        )
-    except OSError:
-        pass
+            st = os.stat(input_path)
+            splitter._fused_pass_memo = (
+                (os.path.realpath(input_path), st.st_mtime_ns, st.st_size,
+                 get_config_manager().generation()),
+                audio, sep, bundle,
+            )
+        except OSError:
+            pass
     features = bundle.features if bundle is not None else _features_fallback(audio, sr)
     if bundle is not None and bundle.vocal_energy is not None and len(audio):
         # refresh confidence from the fused scalar (the engine skipped its
@@ -409,9 +412,10 @@ def process_pure_vocal_split(
             export_options=splitter._export_options,
         )
         export_result.saved_files.append(export_result.full_vocal_file)
-    if "full_instrumental" in export_flags:
-        sep.complement_instrumental(audio)  # host mix - vocal, no download
-    if "full_instrumental" in export_flags and sep.instrumental_track is not None:
+    if (
+        "full_instrumental" in export_flags
+        and sep.complement_instrumental(audio) is not None  # host mix - vocal
+    ):
         instrumental = sep.instrumental_track
         dur = len(instrumental) / float(sr)
         export_result.full_instrumental_file = splitter.segment_exporter.export_full_track(

@@ -60,6 +60,25 @@ def test_hybrid_runs_one_device_pass_per_track(tmp_path, song_audio, monkeypatch
     assert calls["fused"] + calls["staged"] == 1, calls
 
 
+def test_standalone_run_leaves_no_memo(tmp_path, song_audio):
+    """A standalone v2.2_mdd run must NOT retain the track's device stems on
+    the splitter after it returns (HBM retention; only hybrid's sub-run may
+    stash, and hybrid always consumes it)."""
+    from audio_cut_tpu.pipeline.splitter import SmartSplitter
+
+    audio, sr = song_audio
+    p = tmp_path / "song.wav"
+    write_wav(p, audio, sr, subtype="FLOAT")
+    splitter = SmartSplitter(sample_rate=sr)
+    r = splitter.split_audio_seamlessly(str(p), str(tmp_path / "o"), mode="v2.2_mdd")
+    assert r["success"]
+    assert getattr(splitter, "_fused_pass_memo", None) is None
+    # and hybrid consumes its own stash
+    r2 = splitter.split_audio_seamlessly(str(p), str(tmp_path / "o2"), mode="hybrid_mdd")
+    assert r2["success"]
+    assert getattr(splitter, "_fused_pass_memo", None) is None
+
+
 def test_hybrid_memo_never_crosses_files(tmp_path, song_audio):
     """A stale v2.2 pass for a DIFFERENT file must not be reused by hybrid."""
     from audio_cut_tpu.pipeline.splitter import SmartSplitter
@@ -72,7 +91,15 @@ def test_hybrid_memo_never_crosses_files(tmp_path, song_audio):
     write_wav(p2, (audio * 0.5).astype(np.float32), sr, subtype="FLOAT")
 
     splitter = SmartSplitter(sample_rate=sr)
-    r1 = splitter.split_audio_seamlessly(str(p1), str(tmp_path / "o1"), mode="v2.2_mdd")
+    # force the stash (standalone runs no longer stash — only a hybrid parent
+    # asks for it; simulate a parent that stashed a.wav and never consumed it)
+    splitter._want_fused_pass_memo = True
+    try:
+        r1 = splitter.split_audio_seamlessly(
+            str(p1), str(tmp_path / "o1"), mode="v2.2_mdd"
+        )
+    finally:
+        splitter._want_fused_pass_memo = False
     assert r1["success"]
     # the memo now points at a.wav; run hybrid on b.wav — it must separate
     # b.wav itself, not reuse a.wav's stems
