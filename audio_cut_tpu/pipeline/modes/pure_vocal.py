@@ -226,6 +226,35 @@ def process_pure_vocal_split(
             if 0.5 < t < duration - 0.5:
                 raw_points.append(CutPoint(float(t), 0.8, kind="music_span"))
 
+    # pre-guard valley snap (vpbd): planner candidates from lyric gaps /
+    # sentence ends / beats carry TEXT-derived times (gap midpoints,
+    # candidates.py parity) — on separated stems with real vocal decay tails
+    # the midpoint sits on the slope, and the quiet guard would drag the cut
+    # hundreds of ms rightward (failing the PRD precision gate). Snapping each
+    # candidate to the quietest point of the SAME dB grid the guard reads,
+    # within the SAME radius the guard searches, leaves the guard provably
+    # nothing quieter to find (shift 0) and places the cut at the true
+    # acoustic minimum. Min-drop-gated: on clean stems (flat silence in the
+    # gap) nothing moves, so pinned-baseline behavior is unchanged. Snapped
+    # positions strictly inside recognised ASR words are rejected.
+    if vres is not None and bundle is not None and raw_points:
+        snap_ms = float(get_config("vpbd.candidate_valley_snap_ms", 450.0))
+        if snap_ms > 0:
+            wi_snap = None
+            timeline_snap = getattr(vres, "timeline", None)
+            if timeline_snap is not None and getattr(timeline_snap, "words", None):
+                wi_snap = [(w.start_s, w.end_s) for w in timeline_snap.words]
+            drop_cfg = get_config("vpbd.candidate_valley_snap_min_drop_db", None)
+            raw_points = _valley_snap_points(
+                raw_points, bundle.vocal_db_guard, sr, bundle.db_stride,
+                radius_ms=snap_ms,
+                min_drop_db=(
+                    float(drop_cfg) if drop_cfg is not None
+                    else float(eqc.get("guard_db", 1.5))
+                ),
+                word_intervals=wi_snap,
+            )
+
     # -- guard finalisation -------------------------------------------------------
     from audio_cut_tpu.cutting.refine import QuietLookup
 
@@ -581,6 +610,51 @@ def _build_bundle(splitter, audio, vocal_supplier, sep, sr, eqc, lbr, vad_model=
     except Exception:
         logger.warning("detection bundle unavailable; falling back to per-stage kernels", exc_info=True)
         return None
+
+
+def _valley_snap_points(
+    points,
+    db_grid: np.ndarray,
+    sr: int,
+    db_stride: int,
+    *,
+    radius_ms: float,
+    min_drop_db: float,
+    word_intervals: Optional[List[tuple]] = None,
+):
+    """Snap each CutPoint's time to the quietest grid point within
+    ``±radius_ms``, keeping score/kind. Only moves when the valley is at
+    least ``min_drop_db`` quieter than the current position (clean stems
+    stay untouched); positions strictly inside an ASR word are rejected.
+    Run BEFORE NMS/guards — see the call site for why."""
+    word_starts = word_ends = None
+    if word_intervals:
+        iv = sorted(word_intervals)
+        word_starts = np.asarray([a for a, _ in iv])
+        word_ends = np.asarray([b for _, b in iv])
+
+    def _inside_word(t: float) -> bool:
+        if word_starts is None:
+            return False
+        k = int(np.searchsorted(word_starts, t, side="right")) - 1
+        return k >= 0 and word_starts[k] < t < word_ends[k]
+
+    env_db = np.asarray(db_grid)
+    grid_sr = sr / float(db_stride)
+    radius = max(1, int(round(radius_ms / 1000.0 * grid_sr)))
+    n = env_db.size
+    out = []
+    for p in points:
+        idx = int(np.clip(round(p.t * grid_sr), 0, n - 1))
+        lo = max(0, idx - radius)
+        hi = min(n, idx + radius)
+        best = int(np.argmin(env_db[lo:hi])) + lo
+        t_best = best / grid_sr
+        if env_db[idx] - env_db[best] >= min_drop_db and not _inside_word(t_best):
+            out.append(type(p)(float(t_best), p.score, kind=p.kind))
+        else:
+            out.append(p)
+    return out
 
 
 def _local_valley_refine(
