@@ -96,6 +96,23 @@ def main() -> int:
             row["si_snr_waveunet"] = round(si_snr(v_wu, vocal), 2)
 
         true = vocal_activity_frames(vocal, frame=gt_hop, hop=gt_hop)
+        # pause residual: vocal-stem energy inside TRUE vocal pauses, dB
+        # relative to the mix energy there (more negative = cleaner pauses).
+        # This is the quantity that drives cut precision downstream: the
+        # quiet guard and the valley snap both search the vocal stem's dB
+        # grid inside pauses (pipeline/modes/pure_vocal.py).
+        act = np.repeat(true.astype(bool), gt_hop)
+        if act.size < mix.size:  # tail samples beyond the last frame: not a pause
+            act = np.pad(act, (0, mix.size - act.size), constant_values=True)
+        pause = ~act[: mix.size]
+        if pause.any():
+            e_mix = float(np.mean(mix[pause] ** 2)) + 1e-12
+            def _resid_db(est):
+                return round(10.0 * np.log10(float(np.mean(est[pause] ** 2)) / e_mix + 1e-9), 1)
+            row["pause_resid_db_convtdf"] = _resid_db(v_tdf)
+            row["pause_resid_db_spectral"] = _resid_db(v_spec)
+            if waveunet is not None:
+                row["pause_resid_db_waveunet"] = _resid_db(v_wu)
         for tag, wave in (("sep", v_tdf), ("clean", vocal)):
             probs, _fps = vad.speech_probs(wave)
             m = min(len(probs), len(true))
@@ -109,7 +126,9 @@ def main() -> int:
         rows.append(row)
         print(f"track {k}: {row}")
 
-    agg = {key: round(float(np.mean([r[key] for r in rows])), 3) for key in rows[0]}
+    keys = sorted({key for r in rows for key in r})
+    agg = {key: round(float(np.mean([r[key] for r in rows if key in r])), 3)
+           for key in keys}
     print("\naggregate over", len(rows), "OOD tracks:", json.dumps(agg, indent=2))
     if args.json:
         Path(args.json).write_text(json.dumps({"tracks": rows, "aggregate": agg}, indent=2))
