@@ -28,6 +28,12 @@ class TrainConfig:
     weight_decay: float = 1e-4
     spec_loss_weight: float = 1.0
     wave_loss_weight: float = 1.0
+    # extra penalty on predicted vocal energy where the TARGET vocal is
+    # silent: pause cleanliness of the stem is what drives cut precision
+    # downstream (quiet guard + valley snap read the vocal dB grid inside
+    # pauses; OOD pause_resid_db in scripts/eval_models_diverse.py)
+    pause_loss_weight: float = 0.5
+    pause_silence_thresh: float = 1e-3  # target frame RMS below ~-60 dBFS
     clip_norm: float = 1.0
 
 
@@ -57,10 +63,31 @@ def make_loss_fn(sep: ConvTDFSeparator, cfg: TrainConfig, mesh: Optional[Mesh] =
 
         length = mix.shape[-1]
         pred_wave = sep.synthesize(spec_mix, mask, length)
-        wave_l1 = jnp.mean(jnp.abs(pred_wave - vocal_target[..., :length]))
+        tgt_wave = vocal_target[..., :length]
+        wave_l1 = jnp.mean(jnp.abs(pred_wave - tgt_wave))
 
-        loss = cfg.spec_loss_weight * spec_l1 + cfg.wave_loss_weight * wave_l1
-        return loss, {"loss": loss, "spec_l1": spec_l1, "wave_l1": wave_l1}
+        # pause suppression: RMS of the predicted vocal restricted to frames
+        # where the target vocal is silent (see TrainConfig.pause_loss_weight)
+        frame = 1024  # ~23 ms at 44.1 kHz
+        nf = length // frame
+        tr = tgt_wave[..., : nf * frame].reshape(*tgt_wave.shape[:-1], nf, frame)
+        pr = pred_wave[..., : nf * frame].reshape(*pred_wave.shape[:-1], nf, frame)
+        tgt_rms = jnp.sqrt(jnp.mean(tr * tr, axis=-1) + 1e-12)
+        silent = (tgt_rms < cfg.pause_silence_thresh).astype(pred_wave.dtype)
+        pause_ms = jnp.sum(silent[..., None] * pr * pr) / (
+            jnp.sum(silent) * frame + 1.0
+        )
+        pause_rms = jnp.sqrt(pause_ms + 1e-12)
+
+        loss = (
+            cfg.spec_loss_weight * spec_l1
+            + cfg.wave_loss_weight * wave_l1
+            + cfg.pause_loss_weight * pause_rms
+        )
+        return loss, {
+            "loss": loss, "spec_l1": spec_l1, "wave_l1": wave_l1,
+            "pause_rms": pause_rms,
+        }
 
     return loss_fn
 

@@ -259,7 +259,8 @@ def main() -> int:
         elif step % max(1, args.steps // 20) == 0 or step == 2:
             print(f"step {step:6d}  loss {metrics['loss']:.4f}  "
                   f"spec {metrics['spec_l1']:.4f}  wave {metrics['wave_l1']:.4f}  "
-                  f"({step_s * 1000:.0f} ms/step)", flush=True)
+                  + (f"pause {metrics['pause_rms']:.4f}  " if "pause_rms" in metrics else "")
+                  + f"({step_s * 1000:.0f} ms/step)", flush=True)
         completed = step
         if time.time() - t_start > budget_s:
             print(f"wall-clock budget reached at step {step}; stopping cleanly", flush=True)
