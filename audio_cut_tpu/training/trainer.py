@@ -37,6 +37,21 @@ class TrainConfig:
     clip_norm: float = 1.0
 
 
+def pause_suppression_rms(pred_wave, tgt_wave, cfg: TrainConfig):
+    """RMS of the predicted vocal restricted to ~23 ms frames where the
+    TARGET vocal is silent (see TrainConfig.pause_loss_weight). Shared by the
+    spectral (ConvTDF) and waveform (WaveUNet) trainers."""
+    frame = 1024  # ~23 ms at 44.1 kHz
+    length = pred_wave.shape[-1]
+    nf = length // frame
+    tr = tgt_wave[..., : nf * frame].reshape(*tgt_wave.shape[:-1], nf, frame)
+    pr = pred_wave[..., : nf * frame].reshape(*pred_wave.shape[:-1], nf, frame)
+    tgt_rms = jnp.sqrt(jnp.mean(tr * tr, axis=-1) + 1e-12)
+    silent = (tgt_rms < cfg.pause_silence_thresh).astype(pred_wave.dtype)
+    pause_ms = jnp.sum(silent[..., None] * pr * pr) / (jnp.sum(silent) * frame + 1.0)
+    return jnp.sqrt(pause_ms + 1e-12)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.clip_norm),
@@ -66,18 +81,7 @@ def make_loss_fn(sep: ConvTDFSeparator, cfg: TrainConfig, mesh: Optional[Mesh] =
         tgt_wave = vocal_target[..., :length]
         wave_l1 = jnp.mean(jnp.abs(pred_wave - tgt_wave))
 
-        # pause suppression: RMS of the predicted vocal restricted to frames
-        # where the target vocal is silent (see TrainConfig.pause_loss_weight)
-        frame = 1024  # ~23 ms at 44.1 kHz
-        nf = length // frame
-        tr = tgt_wave[..., : nf * frame].reshape(*tgt_wave.shape[:-1], nf, frame)
-        pr = pred_wave[..., : nf * frame].reshape(*pred_wave.shape[:-1], nf, frame)
-        tgt_rms = jnp.sqrt(jnp.mean(tr * tr, axis=-1) + 1e-12)
-        silent = (tgt_rms < cfg.pause_silence_thresh).astype(pred_wave.dtype)
-        pause_ms = jnp.sum(silent[..., None] * pr * pr) / (
-            jnp.sum(silent) * frame + 1.0
-        )
-        pause_rms = jnp.sqrt(pause_ms + 1e-12)
+        pause_rms = pause_suppression_rms(pred_wave, tgt_wave, cfg)
 
         loss = (
             cfg.spec_loss_weight * spec_l1

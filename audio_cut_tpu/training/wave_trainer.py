@@ -18,7 +18,11 @@ from jax.sharding import Mesh
 from audio_cut_tpu.models.waveunet import WaveUNetSeparator
 from audio_cut_tpu.ops.stft import stft
 from audio_cut_tpu.parallel.mesh import batch_sharding, param_shardings, replicated
-from audio_cut_tpu.training.trainer import TrainConfig, make_optimizer
+from audio_cut_tpu.training.trainer import (
+    TrainConfig,
+    make_optimizer,
+    pause_suppression_rms,
+)
 
 STFT_SCALES = ((512, 128), (2048, 512))
 
@@ -36,8 +40,16 @@ def make_wave_loss_fn(sep: WaveUNetSeparator, cfg: TrainConfig):
             tm = jnp.abs(stft(tgt, n_fft=n_fft, hop=hop))
             spec_l1 = spec_l1 + jnp.mean(jnp.abs(pm - tm))
         spec_l1 = spec_l1 / len(STFT_SCALES)
-        loss = cfg.wave_loss_weight * wave_l1 + cfg.spec_loss_weight * spec_l1
-        return loss, {"loss": loss, "spec_l1": spec_l1, "wave_l1": wave_l1}
+        pause_rms = pause_suppression_rms(pred, tgt, cfg)
+        loss = (
+            cfg.wave_loss_weight * wave_l1
+            + cfg.spec_loss_weight * spec_l1
+            + cfg.pause_loss_weight * pause_rms
+        )
+        return loss, {
+            "loss": loss, "spec_l1": spec_l1, "wave_l1": wave_l1,
+            "pause_rms": pause_rms,
+        }
 
     return loss_fn
 
