@@ -152,26 +152,42 @@ def make_song(duration_s: float, sr: int = 44100, seed: int = 7):
 
 
 def _tunnel_healthy(timeout_s: int = 60) -> bool:
-    """The axon TPU tunnel wedges for minutes after killed clients; probe it."""
+    """The axon TPU tunnel wedges for minutes after killed clients; probe it.
+
+    The probe child carries its OWN SIGALRM deadline and exits cleanly —
+    never kill an attached (or attaching) process externally, the relay
+    punishes every later attach for it (ops notes in STATUS.md).
+    """
     code = (
-        "import jax, jax.numpy as jnp;"
-        "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready();print('OK')"
+        "import os, signal\n"
+        f"signal.signal(signal.SIGALRM, lambda *a: os._exit(3))\n"
+        f"signal.alarm({int(timeout_s)})\n"
+        "import jax, jax.numpy as jnp\n"
+        "(jnp.ones((8,8))@jnp.ones((8,8))).block_until_ready()\n"
+        "print('OK', flush=True)\n"
     )
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
-        )
+        out = subprocess.run([sys.executable, "-c", code], capture_output=True)
         return b"OK" in out.stdout
-    except subprocess.TimeoutExpired:
+    except Exception:
         return False
 
 
+def _wait_for_tunnel(rounds: int = 6) -> None:
+    for _ in range(rounds):
+        if _tunnel_healthy():
+            return
+        time.sleep(30)
+
+
 def main() -> None:
-    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
-        for _ in range(6):
-            if _tunnel_healthy():
-                break
-            time.sleep(30)
+    # with JAX_PLATFORMS unset the child attaches the real chip: wait for a
+    # healthy tunnel before burning attempts (an attach during an outage
+    # hangs ~25 min in backend init before erroring)
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not os.environ.get(
+        "BENCH_FORCE_CPU"
+    ):
+        _wait_for_tunnel()
 
     best: dict = {}
     probe_best = None
@@ -208,6 +224,11 @@ def main() -> None:
                 best[k] = max(best.get(k, 0.0), v)
             if healthy >= HEALTHY_ATTEMPTS:
                 break
+        elif "UNAVAILABLE" in str(row.get("error", "")):
+            # tunnel outage (not a degraded attach): wait for recovery
+            # instead of feeding attempts into 25-min init hangs
+            print("# tunnel unavailable; waiting for recovery", file=sys.stderr)
+            _wait_for_tunnel()
         time.sleep(10)
 
     if not best:
