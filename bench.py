@@ -167,8 +167,20 @@ def _tunnel_healthy(timeout_s: int = 60) -> bool:
         "print('OK', flush=True)\n"
     )
     try:
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True)
-        return b"OK" in out.stdout
+        proc = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        deadline = time.time() + timeout_s + 15
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read() if proc.stdout else b""
+                return b"OK" in out
+            time.sleep(1.0)
+        # a tunnel outage blocks attach in C where SIGALRM can't fire:
+        # ABANDON the child (it errors out on its own in ~25 min and exits
+        # cleanly) — never kill it, the relay punishes later attaches
+        return False
     except Exception:
         return False
 
