@@ -305,6 +305,22 @@ def finalize_cut_points(
     return CutRefineResult(final_points, boundaries, kept_adjustments, suppressed)
 
 
+def merge_word_intervals(word_intervals) -> List[Tuple[float, float]]:
+    """Merge overlapping/touching (start, end) intervals into a disjoint
+    sorted list. ASR word intervals DO overlap (layered/backing vocals);
+    searchsorted-based inside-word checks are only correct on disjoint
+    intervals — an overlapped longer word would otherwise be missed."""
+    iv = sorted((float(a), float(b)) for a, b in word_intervals)
+    merged: List[Tuple[float, float]] = []
+    for a, b in iv:
+        if merged and a <= merged[-1][1]:
+            if b > merged[-1][1]:
+                merged[-1] = (merged[-1][0], b)
+        else:
+            merged.append((a, b))
+    return merged
+
+
 def restore_guards_outside_words(
     cut_times: Sequence[float],
     adjustments: Sequence[CutAdjustment],
@@ -330,7 +346,7 @@ def restore_guards_outside_words(
     if not times or not adjustments or not word_intervals:
         return times, None, 0
 
-    intervals = sorted((float(a), float(b)) for a, b in word_intervals)
+    intervals = merge_word_intervals(word_intervals)
     starts = np.asarray([a for a, _ in intervals])
     ends = np.asarray([b for _, b in intervals])
 

@@ -103,26 +103,42 @@ def _write_verdict(data: dict, key: str, ok: bool, reason: str) -> None:
 
 
 def _run_probe() -> tuple:
-    """(ok, reason). Child self-deadlines and always exits cleanly; the
-    parent timeout is a last resort (never expected to fire)."""
+    """(ok, reason). Child self-deadlines via SIGALRM — but a Mosaic compile
+    hung inside the tunnel's C++ RPC never returns to the interpreter, so the
+    alarm may never fire. The parent therefore polls up to
+    PARENT_LAST_RESORT_S and then ABANDONS the child (it eventually errors
+    out of the RPC and exits cleanly on its own) — it never kills it: a
+    killed TPU-attached process wedges the relay for every later attach
+    (STATUS.md ops notes)."""
+    import time as _time
+
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-c", _PROBE_CODE],
-            capture_output=True, text=True, timeout=PARENT_LAST_RESORT_S,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-    except subprocess.TimeoutExpired:
-        return False, (
-            f"probe child missed its own {CHILD_DEADLINE_S}s deadline and was "
-            f"killed by the parent after {PARENT_LAST_RESORT_S}s (tunnel may "
-            "be degraded for the next few minutes)"
-        )
-    out = proc.stdout or ""
+        deadline = _time.time() + PARENT_LAST_RESORT_S
+        while _time.time() < deadline:
+            if proc.poll() is not None:
+                break
+            _time.sleep(1.0)
+        else:
+            return False, (
+                f"probe child hung past its {CHILD_DEADLINE_S}s deadline "
+                f"(compile blocked in a native call where SIGALRM cannot "
+                f"fire); abandoned after {PARENT_LAST_RESORT_S}s — left to "
+                "exit on its own, not killed"
+            )
+    except OSError as exc:
+        return False, f"probe child failed to launch: {exc}"
+    out = proc.stdout.read() if proc.stdout else ""
+    err = proc.stderr.read() if proc.stderr else ""
     if "PALLAS_OK" in out:
         return True, "probe kernel compiled and ran"
     for line in out.splitlines():
         if line.startswith(("PALLAS_TIMEOUT", "PALLAS_ERROR")):
             return False, line.strip()
-    return False, f"probe exited rc={proc.returncode}: {(proc.stderr or '')[-300:]}"
+    return False, f"probe exited rc={proc.returncode}: {err[-300:]}"
 
 
 def pallas_supported() -> bool:

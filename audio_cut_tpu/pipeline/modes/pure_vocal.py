@@ -629,7 +629,9 @@ def _valley_snap_points(
     Run BEFORE NMS/guards — see the call site for why."""
     word_starts = word_ends = None
     if word_intervals:
-        iv = sorted(word_intervals)
+        from audio_cut_tpu.cutting.refine import merge_word_intervals
+
+        iv = merge_word_intervals(word_intervals)  # overlapping words happen
         word_starts = np.asarray([a for a, _ in iv])
         word_ends = np.asarray([b for _, b in iv])
 
@@ -680,7 +682,9 @@ def _local_valley_refine(
 
     word_starts = word_ends = None
     if word_intervals:
-        iv = sorted(word_intervals)
+        from audio_cut_tpu.cutting.refine import merge_word_intervals
+
+        iv = merge_word_intervals(word_intervals)  # overlapping words happen
         word_starts = np.asarray([a for a, _ in iv])
         word_ends = np.asarray([b for _, b in iv])
 

@@ -26,6 +26,27 @@ logger = logging.getLogger(__name__)
 # compiled device-OLA programs, keyed by backend/geometry — survives engine
 # instances so repeat API calls never recompile
 _OLA_PROGRAM_CACHE: Dict[Any, Any] = {}
+# entries hold jitted programs and (for piece layouts) device-resident OLA
+# weight arrays; tokens are per-backend-instance, so an unbounded dict grows
+# HBM forever in long-lived processes that build many backends. LRU-bounded:
+# production serving touches a handful of keys; 64 is far above any steady
+# state while capping churn-heavy test/notebook sessions.
+_OLA_CACHE_MAX = 64
+
+
+def _ola_cache_get(key):
+    if key in _OLA_PROGRAM_CACHE:
+        val = _OLA_PROGRAM_CACHE.pop(key)
+        _OLA_PROGRAM_CACHE[key] = val  # re-insert: dict order == LRU order
+        return True, val
+    return False, None
+
+
+def _ola_cache_put(key, val):
+    _OLA_PROGRAM_CACHE.pop(key, None)
+    _OLA_PROGRAM_CACHE[key] = val
+    while len(_OLA_PROGRAM_CACHE) > _OLA_CACHE_MAX:
+        _OLA_PROGRAM_CACHE.pop(next(iter(_OLA_PROGRAM_CACHE)))
 
 _CACHE_TOKENS = iter(range(1, 1 << 62))
 
@@ -463,20 +484,22 @@ class SeparationEngine:
             return None
         self._ensure_geometry()
         per = max(1, int(get_config("device_pipeline.piece_windows", 2)))
+        max_pieces = max(2, int(get_config("device_pipeline.max_pieces", 8)))
         key = ("piece_layout", self._backend_name, backend_cache_token(self.backend), self.sample_rate,
-               padded_len, self.chunk_s, self.overlap_s, self.halo_s, self.align, per)
-        if key in _OLA_PROGRAM_CACHE:
-            return _OLA_PROGRAM_CACHE[key]
+               padded_len, self.chunk_s, self.overlap_s, self.halo_s, self.align, per,
+               max_pieces)
+        hit, val = _ola_cache_get(key)
+        if hit:
+            return val
         plans, window, weights, inv_wsum = ola_plan(
             padded_len, self.sample_rate, self.chunk_s, self.overlap_s, self.halo_s, self.align
         )
         if len(plans) <= 2:
-            _OLA_PROGRAM_CACHE[key] = None
+            _ola_cache_put(key, None)
             return None
         # each piece is a dispatch + its own transfer: cap the piece count so
         # backends with small native windows don't shatter the schedule into
         # dozens of tiny uploads whose per-dispatch latency eats the overlap
-        max_pieces = max(2, int(get_config("device_pipeline.max_pieces", 8)))
         per = max(per, -(-len(plans) // max_pieces))
         starts = [p.start for p in plans]
         groups = [starts[k:k + per] for k in range(0, len(starts), per)]
@@ -507,7 +530,7 @@ class SeparationEngine:
             "inv_wsum": inv_wsum,
             "padded_len": padded_len,
         }
-        _OLA_PROGRAM_CACHE[key] = layout
+        _ola_cache_put(key, layout)
         return layout
 
     def _piece_forward_fn(self, layout):
@@ -519,8 +542,9 @@ class SeparationEngine:
 
         key = ("piece_fwd", self._backend_name, backend_cache_token(self.backend),
                layout["window"], layout["kmax"], layout["span_len"])
-        if key in _OLA_PROGRAM_CACHE:
-            return _OLA_PROGRAM_CACHE[key]
+        hit, val = _ola_cache_get(key)
+        if hit:
+            return val
         backend = self.backend
         window = layout["window"]
         kmax = layout["kmax"]
@@ -534,7 +558,7 @@ class SeparationEngine:
             return v * wts, i * wts
 
         fn = jax.jit(piece)
-        _OLA_PROGRAM_CACHE[key] = fn
+        _ola_cache_put(key, fn)
         return fn
 
     def _combine_graph(self, layout):
@@ -595,12 +619,18 @@ class SeparationEngine:
     def _piece_combine_fn(self, layout):
         import jax
 
+        # MUST carry the full OLA geometry: the combine graph closes over
+        # groups/spans/inv_wsum derived from it — a runtime geometry change
+        # with a shape-only key silently reused a stale combine (measured
+        # 0.62 L_inf corruption; review r3)
         key = ("piece_combine", self._backend_name, backend_cache_token(self.backend),
-               layout["padded_len"], layout["window"], layout["per"])
-        if key in _OLA_PROGRAM_CACHE:
-            return _OLA_PROGRAM_CACHE[key]
+               layout["padded_len"], layout["window"], layout["per"],
+               self.chunk_s, self.overlap_s, self.halo_s, self.align)
+        hit, val = _ola_cache_get(key)
+        if hit:
+            return val
         fn = jax.jit(self._combine_graph(layout))
-        _OLA_PROGRAM_CACHE[key] = fn
+        _ola_cache_put(key, fn)
         return fn
 
     # -- on-device OLA path (single upload, single download) ----------------

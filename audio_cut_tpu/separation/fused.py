@@ -40,7 +40,8 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
            engine.chunk_s, engine.overlap_s, engine.halo_s, engine.align,
            statics, vad_channels, vad_depth, vad_model is not None,
            bool(get_config("device_pipeline.pipelined_upload", True)),
-           int(get_config("device_pipeline.piece_windows", 2)))
+           int(get_config("device_pipeline.piece_windows", 2)),
+           int(get_config("device_pipeline.max_pieces", 8)))
     if key in _FUSED_CACHE:
         return _FUSED_CACHE[key]
 

@@ -106,6 +106,8 @@ with tempfile.TemporaryDirectory() as td:
             overrides = {"lyrics_alignment.enabled": True,
                          "lyrics_alignment.provider": "fake",
                          "lyrics_alignment.fixture_path": tl_path}
+        # per-mode isolation: one failing mode must not discard the other
+        # modes' measurements from this (expensive) healthy attach
         try:
             set_runtime_config(dict(overrides))
             separate_and_segment(input_uri=song, mode=mode,
@@ -117,8 +119,12 @@ with tempfile.TemporaryDirectory() as td:
                     input_uri=song, mode=mode,
                     export_dir=os.path.join(td, f"out_{name}_{k}"))
                 walls.append(time.time() - t0)
-            assert m["success"], f"{name} failed"
-            rows[name] = round(duration / min(walls), 3)
+            if m["success"]:
+                rows[name] = round(duration / min(walls), 3)
+            else:
+                print(f"# mode {name} unsuccessful", file=sys.stderr)
+        except Exception as exc:
+            print(f"# mode {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
         finally:
             reset_runtime_config()
 

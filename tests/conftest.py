@@ -41,7 +41,10 @@ import pytest  # noqa: E402
 def pytest_collection_modifyitems(config, items):
     """model-marked tier auto-skips unless opted in (reference convention:
     pytest.ini markers + VSS_RUN_* env gates, reference conftest.py:55-85)."""
-    if os.environ.get("AUDIO_CUT_TPU_RUN_MODEL") or config.getoption("-m", default=""):
+    marker_expr = config.getoption("-m", default="") or ""
+    # only an expression that actually references the model marker opts in;
+    # an unrelated filter (e.g. -m "not slow") must still get the auto-skip
+    if os.environ.get("AUDIO_CUT_TPU_RUN_MODEL") or "model" in marker_expr:
         return
     skip = pytest.mark.skip(reason="model tier: set AUDIO_CUT_TPU_RUN_MODEL=1 or -m model")
     for item in items:

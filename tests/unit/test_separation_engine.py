@@ -84,6 +84,34 @@ def test_pipelined_matches_monolithic(song_audio):
     np.testing.assert_array_equal(np.asarray(mix_p), np.asarray(mix_m))
 
 
+def test_pipelined_geometry_change_uses_fresh_combine(song_audio):
+    """A runtime OLA-geometry change must rebuild the piece COMBINE program:
+    its cache key once omitted geometry, so the stale combine (baked
+    groups/spans/inv_wsum) silently corrupted stems (0.62 L_inf measured)."""
+    from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+
+    audio, sr = song_audio
+    eng0 = SeparationEngine(sample_rate=sr, backend="spectral")
+    eng0.separate_on_device(audio)  # populate piece caches at default geometry
+    backend = eng0.backend  # same instance -> same cache token, as via make_backend
+    set_runtime_config({"device_pipeline.overlap_seconds": 3.5})
+    try:
+        eng_p = SeparationEngine(sample_rate=sr, backend=backend)
+        v_p, i_p, mix_p, meta_p = eng_p.separate_on_device(audio)
+        set_runtime_config({
+            "device_pipeline.overlap_seconds": 3.5,
+            "device_pipeline.pipelined_upload": False,
+        })
+        eng_m = SeparationEngine(sample_rate=sr, backend=backend)
+        v_m, i_m, mix_m, meta_m = eng_m.separate_on_device(audio)
+        assert meta_m["gpu_pipeline_mode"] == "device_ola"
+    finally:
+        reset_runtime_config()
+    np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_m), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(i_p), np.asarray(i_m), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mix_p), np.asarray(mix_m))
+
+
 def test_separation_result_fields(song_audio):
     audio, sr = song_audio
     eng = SeparationEngine(sample_rate=sr, backend="spectral")

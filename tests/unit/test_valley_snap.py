@@ -56,6 +56,31 @@ def test_snap_rejects_positions_inside_words():
     assert out[0].t == 5.0  # valley is inside a recognised word -> keep
 
 
+def test_snap_rejects_positions_inside_overlapping_words():
+    """Overlapping ASR word intervals (layered vocals) must be MERGED before
+    the inside-word check: the searchsorted check alone would test only the
+    latest-starting word and accept a position inside an earlier longer one."""
+    env = _grid(20.0, -30.0)
+    vi = int(11.5 * GRID_SR)
+    env[vi] = -55.0
+    pts = [CutPoint(10.95, 0.8, kind="lyrics_gap")]
+    out = _valley_snap_points(
+        pts, env, SR, STRIDE, radius_ms=900.0, min_drop_db=1.5,
+        word_intervals=[(10.0, 12.0), (10.8, 11.0)],
+    )
+    assert out[0].t == 10.95  # 11.5 is inside (10.0, 12.0) -> rejected
+
+
+def test_merge_word_intervals():
+    from audio_cut_tpu.cutting.refine import merge_word_intervals
+
+    assert merge_word_intervals([(10.0, 12.0), (10.8, 11.0), (12.5, 13.0)]) == [
+        (10.0, 12.0), (12.5, 13.0)
+    ]
+    assert merge_word_intervals([(1.0, 2.0), (2.0, 3.0)]) == [(1.0, 3.0)]
+    assert merge_word_intervals([]) == []
+
+
 def test_small_drop_below_gate_does_not_move():
     env = _grid(10.0, -30.0)
     vi = int(5.2 * GRID_SR)
