@@ -21,7 +21,6 @@ TPU-first design choices:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -238,34 +237,22 @@ class ConvTDFBackend:
         holds to float precision (same constraint as the reference's
         align_hop=4096 padding, backends.py:268-281).
         """
-        sr = float(self.sample_rate)
-        target = self.sep.window_samples
-        halo = self.sep.n_fft // 2
-        ramp = 8 * self.sep.hop
-        overlap = 2 * halo + ramp
-        # overlap must stay well under the window for a positive stride
-        overlap = min(overlap, (target // (2 * self.sep.hop)) * self.sep.hop)
-        return {
-            "chunk_s": target / sr,
-            "overlap_s": overlap / sr,
-            "halo_s": min(halo, overlap // 3) / sr,
-            "align": self.sep.hop,
-        }
+        from audio_cut_tpu.separation.tiling import stft_engine_geometry
+
+        return stft_engine_geometry(
+            self.sample_rate, self.sep.window_samples, self.sep.n_fft, self.sep.hop
+        )
 
     def _forward_batch(self, params: Any, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """[n, window_samples] -> (vocal, inst), sub-batched via lax.map so
         U-Net activation memory stays bounded while the MXU runs full tiles."""
-        n = windows.shape[0]
+        from audio_cut_tpu.separation.tiling import mapped_forward
+
         length = int(windows.shape[-1])
-        group = min(self.map_group, n)
-        pad_n = (-n) % group
-        wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
-
-        def body(batch):
-            return self.sep.separate_fn(params, batch, length)
-
-        v, i = jax.lax.map(body, wp.reshape(-1, group, length))
-        return v.reshape(-1, length)[:n], i.reshape(-1, length)[:n]
+        return mapped_forward(
+            lambda batch: self.sep.separate_fn(params, batch, length),
+            windows, self.map_group,
+        )
 
     def separate_windows_fn(self, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Batched windows path for the device-OLA / fused / sp-sharded

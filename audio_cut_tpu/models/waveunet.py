@@ -183,17 +183,13 @@ class WaveUNetBackend:
         }
 
     def _forward_batch(self, params, windows: jnp.ndarray):
-        n = windows.shape[0]
+        from audio_cut_tpu.separation.tiling import mapped_forward
+
         length = int(windows.shape[-1])
-        group = min(self.map_group, n)
-        pad_n = (-n) % group
-        wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
-
-        def body(batch):
-            return self.sep.separate_fn(params, batch, length)
-
-        v, i = jax.lax.map(body, wp.reshape(-1, group, length))
-        return v.reshape(-1, length)[:n], i.reshape(-1, length)[:n]
+        return mapped_forward(
+            lambda batch: self.sep.separate_fn(params, batch, length),
+            windows, self.map_group,
+        )
 
     def separate_windows_fn(self, windows: jnp.ndarray):
         length = int(windows.shape[-1])

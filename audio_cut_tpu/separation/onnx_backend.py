@@ -107,17 +107,11 @@ class OnnxSeparatorBackend:
         """Native chunk schedule: engine windows == model windows, halo =
         n_fft/2 edge trim + short cross-fade (the reference's trim=n_fft/2
         margin, backends.py:306-330, recast as engine halo/overlap)."""
-        sr = float(self.sample_rate)
-        target = self.window_samples
-        halo = self.n_fft // 2
-        ramp = 8 * self.hop
-        overlap = min(2 * halo + ramp, (target // (2 * self.hop)) * self.hop)
-        return {
-            "chunk_s": target / sr,
-            "overlap_s": overlap / sr,
-            "halo_s": min(halo, overlap // 3) / sr,
-            "align": self.hop,
-        }
+        from audio_cut_tpu.separation.tiling import stft_engine_geometry
+
+        return stft_engine_geometry(
+            self.sample_rate, self.window_samples, self.n_fft, self.hop
+        )
 
     # -- fused STFT -> mask net -> iSTFT over a batch of mono windows --------
 
@@ -155,16 +149,12 @@ class OnnxSeparatorBackend:
 
     def _forward_batch(self, params, windows: jnp.ndarray) -> jnp.ndarray:
         """Sub-batched model forward ([n, W] -> [n, W] model stem)."""
-        n = windows.shape[0]
-        length = int(windows.shape[-1])
-        group = min(self.map_group, n)
-        pad_n = (-n) % group
-        wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
-        y = jax.lax.map(
+        from audio_cut_tpu.separation.tiling import mapped_forward
+
+        return mapped_forward(
             functools.partial(self._forward_windows, params),
-            wp.reshape(-1, group, length),
+            windows, self.map_group,
         )
-        return y.reshape(-1, length)[:n]
 
     def separate_windows_fn(self, windows: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Batched windows path for the device-OLA / fused / sp engines."""

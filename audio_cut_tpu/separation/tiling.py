@@ -118,3 +118,39 @@ def tiled_forward_batch(
         wcur = jax.lax.dynamic_slice_in_dim(wacc, r * stride, n * stride, axis=-1)
         wacc = jax.lax.dynamic_update_slice_in_dim(wacc, wcur + wflat, r * stride, axis=-1)
     return (acc / jnp.maximum(wacc, 1e-6))[:, :length]
+
+
+def mapped_forward(forward, windows: jnp.ndarray, group: int):
+    """Sub-batched batched forward via ``lax.map``: [N, W] windows run in
+    groups of ``group`` so U-Net activation memory stays bounded while the
+    MXU still sees full tiles. ``forward`` maps [g, W] -> array or tuple of
+    [g, W]; the output keeps N rows. Single implementation for every neural
+    backend's engine seam (was copy-pasted three times; review r3)."""
+    n = windows.shape[0]
+    length = int(windows.shape[-1])
+    g = min(int(group), int(n))
+    pad_n = (-n) % g
+    wp = jnp.pad(windows, ((0, pad_n), (0, 0)))
+    out = jax.lax.map(forward, wp.reshape(-1, g, length))
+    return jax.tree_util.tree_map(lambda y: y.reshape(-1, length)[:n], out)
+
+
+def stft_engine_geometry(sr: float, window_samples: int, n_fft: int, hop: int):
+    """Native engine schedule for an STFT-domain mask net: engine windows ==
+    model windows, halo = n_fft/2 iSTFT edge spread (recomputed by the
+    neighbour), short cross-fade ramp, align = hop so every window start sits
+    on the STFT frame grid (chunk-vs-full equivalence to float precision —
+    the reference's align_hop padding / trim=n_fft/2 margin,
+    backends.py:268-281,306-330)."""
+    sr = float(sr)
+    target = int(window_samples)
+    halo = n_fft // 2
+    ramp = 8 * hop
+    # overlap must stay well under the window for a positive stride
+    overlap = min(2 * halo + ramp, (target // (2 * hop)) * hop)
+    return {
+        "chunk_s": target / sr,
+        "overlap_s": overlap / sr,
+        "halo_s": min(halo, overlap // 3) / sr,
+        "align": hop,
+    }
