@@ -15,13 +15,22 @@ from audio_cut_tpu.api import separate_and_segment
 from audio_cut_tpu.config import get_config
 
 _AUDIO_EXTS = {".wav", ".wave"}
+# compressed ingest rides the ffmpeg subprocess seam (io/audio.py); only
+# offer these when ffmpeg is actually on PATH (parity: reference
+# quick_start accepts mp3/wav/flac/m4a, SURVEY intro)
+_COMPRESSED_EXTS = {".mp3", ".flac", ".m4a", ".ogg"}
 
 
 def find_audio_files(input_dir: str = "input") -> List[Path]:
+    from audio_cut_tpu.io.audio import ffmpeg_available
+
+    exts = set(_AUDIO_EXTS)
+    if ffmpeg_available():
+        exts |= _COMPRESSED_EXTS
     root = Path(input_dir)
     if not root.exists():
         return []
-    return sorted(p for p in root.rglob("*") if p.suffix.lower() in _AUDIO_EXTS)
+    return sorted(p for p in root.rglob("*") if p.suffix.lower() in exts)
 
 
 def _ask(prompt: str, choices: List[str], default: str) -> str:
@@ -38,7 +47,8 @@ def _ask(prompt: str, choices: List[str], default: str) -> str:
 def run_interactive(input_dir: str = "input", output_dir: Optional[str] = None) -> int:
     files = find_audio_files(input_dir)
     if not files:
-        print(f"no WAV files found under {input_dir!r}; convert inputs to WAV first")
+        print(f"no audio files found under {input_dir!r} "
+              "(WAV natively; mp3/flac/m4a/ogg with ffmpeg on PATH)")
         return 2
 
     print("available files:")
