@@ -4,7 +4,9 @@ Parity: reference src/audio_cut/lyrics/providers.py:33-195 — abstract
 LyricsProvider.align(request) -> LyricsTimeline; NullLyricsProvider (strict
 raises LyricsAlignmentUnavailable); FakeLyricsProvider (JSON fixture);
 factory build_lyrics_provider honoring fire_red.provider_order
-[sidecar -> cli -> null] with availability probing.
+[sidecar -> cli -> in_process -> null] with availability probing (the
+reference's auto chain probes all four names, :123-195; a "null" entry
+terminates the chain).
 """
 
 from __future__ import annotations
@@ -96,12 +98,19 @@ def build_lyrics_provider(
         from audio_cut_tpu.lyrics.cli_provider import CliLyricsProvider
 
         return CliLyricsProvider()
+    if name == "in_process":
+        from audio_cut_tpu.lyrics.in_process import InProcessLyricsProvider
+
+        return InProcessLyricsProvider()
     if name == "auto":
-        order = get_config("fire_red.provider_order", ["sidecar", "cli", "null"]) or []
+        order = get_config(
+            "fire_red.provider_order", ["sidecar", "cli", "in_process", "null"]
+        ) or []
         for entry in [*order, "fake"]:
             entry = str(entry).lower()
             if entry in ("null", "none"):
-                continue
+                # reference parity: a "null" entry terminates the chain
+                break
             try:
                 candidate = build_lyrics_provider(entry, strict=strict)
             except Exception:

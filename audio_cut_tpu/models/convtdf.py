@@ -182,20 +182,26 @@ class ConvTDFBackend:
             "depth": int(cfg.get("num_blocks", 9)) // 3,
             "tdf_bottleneck": int(cfg.get("tdf_bottleneck", 64)),
         }
-        if ckpt == "packaged":
-            ckpt = packaged_checkpoint_path()
-            if ckpt is None:
+        if ckpt in ("packaged", "packaged_tiny"):
+            resolved = (
+                packaged_tiny_checkpoint_path()
+                if ckpt == "packaged_tiny"
+                else packaged_checkpoint_path()
+            )
+            if resolved is None:
                 raise RuntimeError(
-                    "enhanced_separation.convtdf.checkpoint=packaged but no "
-                    "packaged checkpoint ships in this build "
-                    "(models/weights/convtdf_bootstrap_v1.msgpack)"
+                    f"enhanced_separation.convtdf.checkpoint={ckpt} but no "
+                    "such checkpoint ships in this build (models/weights/)"
                 )
             # the packaged checkpoint pins its own network geometry (sidecar
-            # JSON written by scripts/train_separator.py --bootstrap); window
-            # length (dim_t) stays config-driven — the net is fully
-            # convolutional over T
-            meta = _packaged_geometry(ckpt)
-            for key in ("n_fft", "hop", "dim_f", "channels", "depth", "tdf_bottleneck"):
+            # JSON written by scripts/train_separator.py --bootstrap/--tiny);
+            # the bootstrap sidecar omits dim_t (window stays config-driven —
+            # the net is fully convolutional over T) while the tiny sidecar
+            # pins its own serving dim_t for the CPU tier
+            meta = _packaged_geometry(resolved)
+            ckpt = resolved
+            for key in ("n_fft", "hop", "dim_f", "dim_t", "channels", "depth",
+                        "tdf_bottleneck"):
                 if key in meta:
                     geometry[key] = int(meta[key])
         self.sep = ConvTDFSeparator(sample_rate, **geometry)
@@ -306,6 +312,7 @@ class ConvTDFBackend:
 
 
 PACKAGED_CHECKPOINT = "convtdf_bootstrap_v1.msgpack"
+PACKAGED_TINY_CHECKPOINT = "convtdf_tiny_v1.msgpack"
 
 
 def packaged_checkpoint_path() -> Optional[str]:
@@ -313,6 +320,14 @@ def packaged_checkpoint_path() -> Optional[str]:
     import os
 
     path = os.path.join(os.path.dirname(__file__), "weights", PACKAGED_CHECKPOINT)
+    return path if os.path.exists(path) else None
+
+
+def packaged_tiny_checkpoint_path() -> Optional[str]:
+    """Tiny CPU-tier checkpoint (checkpoint='packaged_tiny'), if shipped."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "weights", PACKAGED_TINY_CHECKPOINT)
     return path if os.path.exists(path) else None
 
 

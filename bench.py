@@ -8,9 +8,19 @@ default separation backend) on a synthetic 60 s song, measured WARM (best of
 3 in-process runs; compile amortises across tracks in production). The
 ``modes`` map adds the other benchmark configs from BASELINE.md: the
 model-free spectral tier, vpbd_asr (fake lyrics provider), hybrid_mdd,
-vocal_separation (full-stem export), and librosa_onset (CPU-feature mode). `vs_baseline` compares the headline
-against the reference's own separation throughput target of 0.7x realtime on
-GPU (reference README.md:138, BASELINE.md).
+vocal_separation (full-stem export), and librosa_onset (CPU-feature mode).
+`vs_baseline` compares the headline against the reference's own separation
+throughput target of 0.7x realtime on GPU (reference README.md:138,
+BASELINE.md).
+
+HARD WALL-CLOCK BUDGET (round-4, VERDICT r3 task #1): the whole run is
+bounded by ``BENCH_BUDGET_S`` (default 1500 s). Children checkpoint each
+mode's result to a progress file the moment it is measured, and the parent
+ALWAYS emits its best-so-far JSON line before the budget expires — even if a
+child is still mid-flight (the child is abandoned, never killed: killing a
+TPU-attached process wedges the axon relay for every later attach). Round 3's
+official bench (`BENCH_r03.json`) timed out with rc=124 and recorded nothing;
+this design makes that impossible.
 
 Tunnel-chip reality (measured in round 2): each PROCESS attaching through
 the axon relay lands either on a fast path (~0.05 s per warm separation
@@ -18,9 +28,10 @@ window) or a ~80x degraded one, stable for the process lifetime; external
 load adds further fluctuation. So each attempt runs in a FRESH subprocess
 that first self-probes a warm separation window and bails out early
 (rc=3) when it drew a degraded attach; the driver loop keeps the best
-per-mode results across healthy attempts (no early-exit threshold — the
-trend line across rounds should reflect the chip's best, VERDICT r2 weak #8).
-Processes always exit cleanly — killing a TPU process wedges the tunnel.
+per-mode results across healthy attempts. If the budget's second half opens
+with no healthy measurement yet, the next child measures even on a degraded
+attach and the final line is flagged ``"degraded": true`` — a flagged number
+beats an empty record.
 """
 
 from __future__ import annotations
@@ -29,18 +40,27 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REFERENCE_XRT = 0.7   # reference GPU target: >=0.7x realtime end-to-end
-MAX_ATTEMPTS = 6
+MAX_ATTEMPTS = 8
 HEALTHY_ATTEMPTS = 2  # stop after this many healthy attaches measured
 SLOW_WINDOW_S = 0.6   # warm 10 s-window separation beyond this = degraded attach
+DEFAULT_BUDGET_S = 1500.0  # well under the driver timeout (r02 completed ~<30 min)
 
 _CHILD_CODE = r"""
 import json, os, sys, tempfile, time
 sys.path.insert(0, os.getcwd())  # launched with cwd = repo root
 import numpy as np
 from bench import make_song
+
+child_t0 = time.time()
+child_budget = float(os.environ.get("BENCH_CHILD_BUDGET_S", "1e9"))
+progress_path = os.environ.get("BENCH_PROGRESS_FILE", "")
+
+def remaining():
+    return child_budget - (time.time() - child_t0)
 
 duration = float(os.environ.get("BENCH_DURATION_S", "60"))
 audio, sr = make_song(duration)
@@ -61,7 +81,8 @@ v, i = bk.separate_window(w); np.asarray(v[:1])          # compile + settle
 t0 = time.time(); v, i = bk.separate_window(w); np.asarray(v[:1])
 probe = time.time() - t0
 slow_thresh = float(os.environ.get("BENCH_SLOW_WINDOW_S", "0.6"))
-if probe > slow_thresh:
+degraded = probe > slow_thresh
+if degraded and not os.environ.get("BENCH_MEASURE_DEGRADED"):
     print(json.dumps({"probe_s": round(probe, 3), "verdict": "slow_attach"}))
     sys.exit(3)
 
@@ -95,6 +116,20 @@ MODES = [
 ]
 
 rows = {}
+
+def checkpoint(partial):
+    # atomically publish progress so the parent can harvest best-so-far
+    # results from an abandoned (never killed) child
+    if not progress_path:
+        return
+    payload = {"probe_s": round(probe, 3), "degraded": degraded,
+               "modes": rows, "partial": partial}
+    tmp = progress_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, progress_path)
+
+partial = False
 with tempfile.TemporaryDirectory() as td:
     song = os.path.join(td, "bench_song.wav")
     write_wav(song, audio, sr)
@@ -102,6 +137,13 @@ with tempfile.TemporaryDirectory() as td:
     with open(tl_path, "w") as f:
         json.dump(fake_timeline(duration), f)
     for name, mode, overrides in MODES:
+        # budget check BETWEEN modes: a warm mode takes ~ (1+3) * wall where
+        # wall is a few seconds; 45 s floor leaves room for one warm + one
+        # timed run even on a cache-cold-but-healthy attach tail
+        if remaining() < 45.0:
+            print(f"# child budget exhausted before mode {name}", file=sys.stderr)
+            partial = True
+            break
         if overrides == "ASR":
             overrides = {"lyrics_alignment.enabled": True,
                          "lyrics_alignment.provider": "fake",
@@ -114,13 +156,19 @@ with tempfile.TemporaryDirectory() as td:
                                  export_dir=os.path.join(td, f"warm_{name}"))
             walls = []
             for k in range(3):
+                if walls and remaining() < 3.0 * max(walls):
+                    partial = True
+                    break
                 t0 = time.time()
                 m = separate_and_segment(
                     input_uri=song, mode=mode,
                     export_dir=os.path.join(td, f"out_{name}_{k}"))
                 walls.append(time.time() - t0)
-            if m["success"]:
+            if walls and m["success"]:
                 rows[name] = round(duration / min(walls), 3)
+                checkpoint(partial=True)
+            elif not walls:
+                print(f"# mode {name}: no timed run fit the budget", file=sys.stderr)
             else:
                 print(f"# mode {name} unsuccessful", file=sys.stderr)
         except Exception as exc:
@@ -128,7 +176,9 @@ with tempfile.TemporaryDirectory() as td:
         finally:
             reset_runtime_config()
 
-print(json.dumps({"probe_s": round(probe, 3), "modes": rows}))
+checkpoint(partial=partial)
+print(json.dumps({"probe_s": round(probe, 3), "degraded": degraded,
+                  "partial": partial, "modes": rows}))
 """
 
 
@@ -191,94 +241,133 @@ def _tunnel_healthy(timeout_s: int = 60) -> bool:
         return False
 
 
-def _wait_for_tunnel(rounds: int = 6) -> None:
-    for _ in range(rounds):
-        if _tunnel_healthy():
+def _wait_for_tunnel(until: float) -> None:
+    """Probe until healthy or the given absolute wall-clock deadline."""
+    while time.time() < until:
+        if _tunnel_healthy(timeout_s=min(60, max(10, int(until - time.time())))):
+            return
+        if time.time() + 30 >= until:
             return
         time.sleep(30)
 
 
+def _read_progress(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def main() -> None:
+    budget = float(os.environ.get("BENCH_BUDGET_S", str(DEFAULT_BUDGET_S)))
+    t_start = time.time()
+    deadline = t_start + budget
+
+    def remaining() -> float:
+        return deadline - time.time()
+
     # with JAX_PLATFORMS unset the child attaches the real chip: wait for a
     # healthy tunnel before burning attempts (an attach during an outage
-    # hangs ~25 min in backend init before erroring)
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not os.environ.get(
+    # hangs ~25 min in backend init before erroring) — but never spend more
+    # than a quarter of the budget waiting
+    on_chip = os.environ.get("JAX_PLATFORMS", "") != "cpu" and not os.environ.get(
         "BENCH_FORCE_CPU"
-    ):
-        _wait_for_tunnel()
+    )
+    if on_chip:
+        _wait_for_tunnel(until=t_start + min(300.0, budget * 0.25))
 
-    best: dict = {}
+    best: dict = {}           # healthy-attach rows
+    best_degraded: dict = {}  # flagged fallback rows
     probe_best = None
     healthy = 0
     attempts = []
     here = os.path.dirname(os.path.abspath(__file__))
-    # two waves: if every first-wave attempt draws a degraded attach (the
-    # tunnel wedges for minutes after any killed client anywhere), cool down
-    # and try again before settling for a degraded measurement
-    for attempt in range(MAX_ATTEMPTS + 4):
-        if attempt == MAX_ATTEMPTS and not best:
-            print("# first wave all degraded; 3 min cooldown", file=sys.stderr)
-            time.sleep(180)
+    progress_dir = tempfile.mkdtemp(prefix="bench_progress_")
+    abandoned = False
+
+    for attempt in range(MAX_ATTEMPTS):
+        if remaining() < 60.0 or healthy >= HEALTHY_ATTEMPTS:
+            break
         env = dict(os.environ)
         env["BENCH_SLOW_WINDOW_S"] = str(SLOW_WINDOW_S)
-        # NO timeout: a mid-flight kill wedges the tunnel for every later
-        # attempt. A degraded attach exits itself after the cheap probe.
-        proc = subprocess.run(
-            [sys.executable, "-c", _CHILD_CODE], capture_output=True,
+        progress_path = os.path.join(progress_dir, f"attempt_{attempt}.json")
+        env["BENCH_PROGRESS_FILE"] = progress_path
+        # leave the parent ~15 s to harvest + emit after the child's budget
+        env["BENCH_CHILD_BUDGET_S"] = str(max(30.0, remaining() - 15.0))
+        # second half of the budget with nothing healthy: a flagged degraded
+        # measurement beats an empty record (VERDICT r3 task #1)
+        measure_degraded = (not best) and remaining() < budget * 0.5
+        if measure_degraded:
+            env["BENCH_MEASURE_DEGRADED"] = "1"
+        # NO kill on timeout: a mid-flight kill wedges the tunnel for every
+        # later attempt. On budget expiry the child is ABANDONED (it exits
+        # itself) and its progress file is harvested.
+        proc = subprocess.Popen(
+            [sys.executable, "-c", _CHILD_CODE],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=here, env=env,
         )
-        line = (proc.stdout.strip().splitlines() or [""])[-1]
-        try:
-            row = json.loads(line)
-        except json.JSONDecodeError:
-            row = {"error": proc.stderr[-400:], "rc": proc.returncode}
-        row["rc"] = proc.returncode
+        while proc.poll() is None and remaining() > 10.0:
+            time.sleep(1.0)
+        if proc.poll() is None:
+            abandoned = True
+            row = _read_progress(progress_path)
+            row.setdefault("modes", {})
+            row["rc"] = "abandoned_at_budget"
+            print(f"# attempt {attempt}: budget expired, child abandoned; "
+                  f"harvested {sorted(row['modes'])}", file=sys.stderr)
+        else:
+            out, err = proc.communicate()
+            line = (out.strip().splitlines() or [""])[-1]
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                row = _read_progress(progress_path)
+                if not row:
+                    row = {"error": err[-400:]}
+            row["rc"] = proc.returncode
         attempts.append(row)
         print(f"# attempt {attempt}: {row}", file=sys.stderr)
-        if proc.returncode == 0 and row.get("modes"):
-            healthy += 1
-            probe_best = min(probe_best or 1e9, row.get("probe_s", 1e9))
+        target = best_degraded if row.get("degraded") else best
+        if row.get("modes"):
+            if not row.get("degraded"):
+                healthy += 1
+                probe_best = min(probe_best or 1e9, row.get("probe_s", 1e9))
             for k, v in row["modes"].items():
-                best[k] = max(best.get(k, 0.0), v)
-            if healthy >= HEALTHY_ATTEMPTS:
-                break
-        elif "UNAVAILABLE" in str(row.get("error", "")):
+                target[k] = max(target.get(k, 0.0), v)
+        if abandoned:
+            break
+        if "UNAVAILABLE" in str(row.get("error", "")) and remaining() > 120:
             # tunnel outage (not a degraded attach): wait for recovery
             # instead of feeding attempts into 25-min init hangs
             print("# tunnel unavailable; waiting for recovery", file=sys.stderr)
-            _wait_for_tunnel()
-        time.sleep(10)
+            _wait_for_tunnel(until=min(deadline - 90, time.time() + 240))
+        if remaining() > 15.0:
+            time.sleep(min(10.0, max(0.0, remaining() - 12.0)))
 
-    if not best:
-        # every attempt drew a degraded attach or failed — report the least
-        # bad information rather than crashing (VERDICT round-1 weak #1)
-        slow = [a for a in attempts if a.get("verdict") == "slow_attach"]
-        if slow:
-            env = dict(os.environ)
-            env["BENCH_SLOW_WINDOW_S"] = "1e9"
-            proc = subprocess.run(
-                [sys.executable, "-c", _CHILD_CODE], capture_output=True,
-                text=True, cwd=here, env=env,
-            )
-            line = (proc.stdout.strip().splitlines() or [""])[-1]
-            try:
-                row = json.loads(line)
-                best = row.get("modes", {})
-                probe_best = row.get("probe_s")
-            except json.JSONDecodeError:
-                raise SystemExit(f"bench failed: {proc.stderr[-800:]}")
-        if not best:
-            raise SystemExit(f"bench failed on every attempt: {attempts}")
-
-    xrt = best.get("v2.2_mdd", max(best.values()))
-    print(json.dumps({
+    rows = best or best_degraded
+    result = {
         "metric": "e2e_xrt_v2.2_mdd_warm",
-        "value": xrt,
+        "value": 0.0,
         "unit": "audio_s_per_wall_s",
-        "vs_baseline": round(xrt / REFERENCE_XRT, 3),
+        "vs_baseline": 0.0,
         "probe_s": probe_best,
-        "modes": best,
-    }))
+        "modes": rows,
+        "elapsed_s": round(time.time() - t_start, 1),
+        "budget_s": budget,
+    }
+    if rows:
+        xrt = rows.get("v2.2_mdd", max(rows.values()))
+        result["value"] = xrt
+        result["vs_baseline"] = round(xrt / REFERENCE_XRT, 3)
+        if not best:
+            result["degraded"] = True
+    else:
+        result["error"] = "no mode measured within budget"
+        result["attempts"] = attempts[-3:]
+    # the one-line contract: ALWAYS emit valid JSON on stdout, rc 0
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,16 @@ BOOTSTRAP_GEOMETRY = dict(
 # channels/depth are the packaged contract recorded in the sidecar
 WAVEUNET_GEOMETRY = dict(window_samples=65536, channels=24, depth=4)
 
+# tiny-geometry checkpoint for the ALWAYS-RUN CPU test tier: small enough
+# that the vpbd_asr PRD precision gate exercises the NEURAL path inside the
+# 5-minute loop (VERDICT r3 task #4). dim_t here is the training window; the
+# sidecar records TINY_SERVING_DIM_T so serving uses a longer window.
+TINY_GEOMETRY = dict(
+    n_fft=1024, hop=256, dim_f=384, dim_t=64,
+    channels=12, depth=2, tdf_bottleneck=24,
+)
+TINY_SERVING_DIM_T = 256
+
 
 def evaluate_si_snr(sep, params, n_pairs: int = 6, seed: int = 1234):
     """Held-out synthetic eval: SI-SNR (dB) of the ConvTDF vocal estimate vs
@@ -128,6 +138,10 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--small", action="store_true", help="small geometry for smoke tests")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny CPU-tier geometry (TINY_GEOMETRY): trains the "
+                         "packaged_tiny checkpoint that lets the always-run "
+                         "CPU suite exercise the neural precision gate")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-pairs", type=int, default=6)
     ap.add_argument("--max-minutes", type=float, default=0.0,
@@ -200,6 +214,9 @@ def main() -> int:
         sep = ConvTDFSeparator(44100, n_fft=512, hop=128, dim_f=128, dim_t=32,
                                channels=8, depth=2, tdf_bottleneck=16)
         trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+    elif args.tiny:
+        sep = ConvTDFSeparator(44100, **TINY_GEOMETRY)
+        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
     elif args.bootstrap:
         sep = ConvTDFSeparator(44100, **BOOTSTRAP_GEOMETRY)
         trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
@@ -226,11 +243,11 @@ def main() -> int:
         print(f"resumed params from {src}", flush=True)
 
     rng = np.random.default_rng(0)
-    if args.bootstrap and args.rich:
+    if (args.bootstrap or args.tiny) and args.rich:
         from audio_cut_tpu.training.rich_data import rich_batches
 
         batches = rich_batches(sep.window_samples, args.batch, rng)
-    elif args.bootstrap:
+    elif args.bootstrap or args.tiny:
         from audio_cut_tpu.training.sep_data import synth_batches
 
         batches = synth_batches(sep.window_samples, args.batch, rng,
@@ -272,7 +289,7 @@ def main() -> int:
         print(f"only {completed} steps completed — NOT saving {args.checkpoint}", flush=True)
         return 4
 
-    if args.bootstrap:
+    if args.bootstrap or args.tiny:
         conv_db, spec_db = evaluate_si_snr(sep, trainer.params, n_pairs=args.eval_pairs)
         print(f"held-out SI-SNR: convtdf {conv_db:.2f} dB vs spectral {spec_db:.2f} dB "
               f"({'BEATS' if conv_db > spec_db else 'BELOW'} the model-free baseline)",
@@ -281,12 +298,17 @@ def main() -> int:
     if args.checkpoint:
         ckpt_path = Path(args.checkpoint).expanduser().resolve()
         trainer.save_checkpoint(str(ckpt_path))
-        if args.bootstrap and str(ckpt_path).endswith(".msgpack"):
+        if (args.bootstrap or args.tiny) and str(ckpt_path).endswith(".msgpack"):
             import json
 
             if args.family == "waveunet":
                 meta = {k: v for k, v in WAVEUNET_GEOMETRY.items()
                         if k != "window_samples"}
+            elif args.tiny:
+                # tiny sidecar PINS the serving window too: the CPU tier must
+                # not inherit the production dim_t 256-at-hop-1024 default
+                meta = {k: v for k, v in TINY_GEOMETRY.items() if k != "dim_t"}
+                meta["dim_t"] = TINY_SERVING_DIM_T
             else:
                 meta = {k: v for k, v in BOOTSTRAP_GEOMETRY.items() if k != "dim_t"}
             with open(str(ckpt_path) + ".json", "w") as f:
