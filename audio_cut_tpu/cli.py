@@ -30,6 +30,7 @@ examples:
   audio-cut input/song.wav --segments 6-14 --align 0.75
   audio-cut input/song.wav --mode vocal_separation
   audio-cut input/song.wav --mode hybrid_mdd
+  audio-cut warmup                 # pre-compile programs into the XLA cache
 """,
     )
     parser.add_argument("input_file", help="input audio path (WAV)")
@@ -122,6 +123,14 @@ def build_runtime_overrides(args: argparse.Namespace) -> Dict[str, Any]:
 
 
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] == "warmup":
+        # `audio-cut warmup` — pre-compile the production XLA programs into
+        # the persistent cache (cold-start story; reference PRD.md:61 latency
+        # target blown by the ~200 s cold ConvTDF compile otherwise)
+        from audio_cut_tpu.warmup import warmup_main
+
+        return warmup_main(argv[1:])
     args = build_parser().parse_args(argv)
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

@@ -18,6 +18,12 @@ disk WITH the reason, not just a bool:
 
 Verdict cache format (per key): {"ok": bool, "reason": str, "at": iso8601}.
 Legacy bool entries from round 2 are still readable.
+
+A cache MISS no longer blocks the caller: a provisional OFF verdict is
+written and the probe runs in a DETACHED supervisor process that records the
+final verdict when it completes (on a wedged tunnel that can take the full
+PARENT_LAST_RESORT_S — previously the first caller stalled for all of it).
+A stale provisional entry (supervisor died) is re-probed on the next call.
 """
 
 from __future__ import annotations
@@ -86,7 +92,9 @@ def _cache_key() -> str:
     return f"{jax.__version__}/{kind}"
 
 
-def _write_verdict(data: dict, key: str, ok: bool, reason: str) -> None:
+def _write_verdict(
+    data: dict, key: str, ok: bool, reason: str, provisional: bool = False
+) -> None:
     import datetime
 
     data[key] = {
@@ -94,12 +102,38 @@ def _write_verdict(data: dict, key: str, ok: bool, reason: str) -> None:
         "reason": reason,
         "at": datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds"),
     }
+    if provisional:
+        data[key]["provisional"] = True
     cache = _cache_path()
     try:
         cache.parent.mkdir(parents=True, exist_ok=True)
         cache.write_text(json.dumps(data, indent=1))
     except OSError:
         pass
+
+
+def _entry_age_s(entry: dict) -> float:
+    import datetime
+
+    try:
+        at = datetime.datetime.fromisoformat(str(entry.get("at")))
+        return (datetime.datetime.now(datetime.timezone.utc) - at).total_seconds()
+    except (TypeError, ValueError):
+        return 1e9
+
+
+def _supervise(key: str) -> None:
+    """Detached probe supervisor: runs the probe and records the FINAL
+    verdict while the original caller has already moved on (it returned
+    False on the provisional entry instead of blocking up to 15 min on a
+    wedged tunnel, ADVICE r3). This process never imports jax itself —
+    the TPU attach happens only in the probe child it spawns."""
+    ok, reason = _run_probe()
+    try:
+        data = json.loads(_cache_path().read_text())
+    except (OSError, json.JSONDecodeError):
+        data = {}
+    _write_verdict(data, key, ok, reason)
 
 
 def _run_probe() -> tuple:
@@ -167,13 +201,35 @@ def pallas_supported() -> bool:
     if not os.environ.get("AUDIO_CUT_TPU_PALLAS_REPROBE"):
         entry = data.get(key)
         if isinstance(entry, dict):
-            _VERDICT = bool(entry.get("ok"))
-            return _VERDICT
+            if entry.get("provisional") and _entry_age_s(entry) > (
+                PARENT_LAST_RESORT_S + 120
+            ):
+                # a previous supervisor died before recording its verdict
+                # (host restart, OOM) — fall through and probe again
+                pass
+            else:
+                _VERDICT = bool(entry.get("ok"))
+                return _VERDICT
         if isinstance(entry, bool):  # legacy round-2 format
             _VERDICT = entry
             return _VERDICT
 
-    ok, reason = _run_probe()
-    _write_verdict(data, key, ok, reason)
-    _VERDICT = ok
+    # cache miss: record a provisional OFF verdict and hand the actual probe
+    # to a DETACHED supervisor — on a wedged tunnel the probe can block up to
+    # PARENT_LAST_RESORT_S, and the first caller must not stall its startup
+    # for that (ADVICE r3). The supervisor overwrites the entry when done;
+    # until then (and on this process, for its lifetime) Pallas stays off —
+    # the jnp paths are behavior-identical.
+    _write_verdict(data, key, False, "probing in a detached supervisor", provisional=True)
+    try:
+        subprocess.Popen(
+            [sys.executable, "-c",
+             "from audio_cut_tpu.ops.pallas.probe import _supervise; "
+             f"_supervise({key!r})"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+    except OSError:
+        pass
+    _VERDICT = False
     return _VERDICT

@@ -49,12 +49,18 @@ def process_hybrid_mdd(
     # v2.2_mdd runs never stash (the memo would pin a track's stems in HBM
     # after the call returned).
     splitter._want_fused_pass_memo = True
+    base = None
     try:
         base = splitter.split_audio_seamlessly(
             input_path, output_dir, mode="v2.2_mdd", export_plan=("none",)
         )
     finally:
         splitter._want_fused_pass_memo = False
+        # the sub-run may have stashed full-track device stems BEFORE
+        # failing (success=False or raise): drop them here or they stay
+        # pinned in HBM on the splitter (ADVICE r3)
+        if base is None or not base.get("success"):
+            splitter._fused_pass_memo = None
     if not base.get("success"):
         return base
     mdd_cuts = [

@@ -688,14 +688,14 @@ class SeparationEngine:
         # instance (the API builds a fresh splitter/engine per call)
         key = (self._backend_name, backend_cache_token(self.backend), self.sample_rate, padded_len,
                self.chunk_s, self.overlap_s, self.halo_s, self.align)
-        cache = _OLA_PROGRAM_CACHE
-        if key in cache:
-            return cache[key]
+        hit, val = _ola_cache_get(key)
+        if hit:
+            return val
 
         run, n = self._ola_graph(padded_len)
         fn = jax.jit(run)
-        cache[key] = (fn, n)
-        return cache[key]
+        _ola_cache_put(key, (fn, n))
+        return fn, n
 
     def separate_on_device(self, audio: np.ndarray):
         """Returns (vocal_dev, inst_dev, mix_dev, meta); stems are DEVICE

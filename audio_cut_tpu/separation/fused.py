@@ -23,8 +23,29 @@ from audio_cut_tpu.config import get_config
 logger = logging.getLogger(__name__)
 
 # compiled fused programs keyed by (backend, geometry, statics, vad arch) —
-# module-level so repeat API calls never recompile
+# module-level so repeat API calls never recompile. Entries retain piece
+# layouts (device-resident OLA weight arrays) keyed per backend-instance
+# token, so the dict is LRU-bounded like the engine's program cache:
+# unbounded growth pins HBM in long-lived processes that rebuild backends
+# (config changes, fallback churn).
 _FUSED_CACHE: Dict[Any, Any] = {}
+_FUSED_CACHE_MAX = 16
+
+
+def _fused_cache_get(key):
+    if key in _FUSED_CACHE:
+        val = _FUSED_CACHE.pop(key)
+        _FUSED_CACHE[key] = val  # re-insert: dict order == LRU order
+        return True, val
+    return False, None
+
+
+def _fused_cache_put(key, val):
+    _FUSED_CACHE.pop(key, None)
+    _FUSED_CACHE[key] = val
+    while len(_FUSED_CACHE) > _FUSED_CACHE_MAX:
+        _FUSED_CACHE.pop(next(iter(_FUSED_CACHE)))
+    return val
 
 
 def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
@@ -42,8 +63,9 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
            bool(get_config("device_pipeline.pipelined_upload", True)),
            int(get_config("device_pipeline.piece_windows", 2)),
            int(get_config("device_pipeline.max_pieces", 8)))
-    if key in _FUSED_CACHE:
-        return _FUSED_CACHE[key]
+    hit, val = _fused_cache_get(key)
+    if hit:
+        return val
 
     def _bundle_tail(vocal, inst, mix_f32, n_true, vad_params):
         # zero the pad tail: the OLA leaks a little energy past the true
@@ -71,8 +93,7 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
             vocal, inst, mix_f32 = combine(vs, iss, raws, scale)
             return _bundle_tail(vocal, inst, mix_f32, n_true, vad_params)
 
-        _FUSED_CACHE[key] = (jax.jit(fused_pieces), layout["n_chunks"], layout)
-        return _FUSED_CACHE[key]
+        return _fused_cache_put(key, (jax.jit(fused_pieces), layout["n_chunks"], layout))
 
     run, n_chunks = engine._ola_graph(padded_len)
 
@@ -80,8 +101,7 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
         vocal, inst, mix_f32 = run(raw, scale)
         return _bundle_tail(vocal, inst, mix_f32, n_true, vad_params)
 
-    _FUSED_CACHE[key] = (jax.jit(fused), n_chunks, None)
-    return _FUSED_CACHE[key]
+    return _fused_cache_put(key, (jax.jit(fused), n_chunks, None))
 
 
 def separate_and_detect_fused(

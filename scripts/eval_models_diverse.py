@@ -130,8 +130,26 @@ def main() -> int:
     agg = {key: round(float(np.mean([r[key] for r in rows if key in r])), 3)
            for key in keys}
     print("\naggregate over", len(rows), "OOD tracks:", json.dumps(agg, indent=2))
+
+    # fallback-tier ordering verdict (VERDICT r3 task #5): the Demucs-role
+    # waveunet tier only earns its slot ahead of spectral if it wins
+    # per-track — median advantage >= +2 dB AND no track where it loses by
+    # >0.5 dB (docs/EVAL_PROTOCOL.md §3)
+    ordering = None
+    if waveunet is not None:
+        deltas = [r["si_snr_waveunet"] - r["si_snr_spectral"]
+                  for r in rows if "si_snr_waveunet" in r]
+        ordering = {
+            "waveunet_minus_spectral_median_db": round(float(np.median(deltas)), 2),
+            "waveunet_worst_loss_db": round(float(min(deltas)), 2),
+            "waveunet_earns_slot_above_spectral": bool(
+                np.median(deltas) >= 2.0 and min(deltas) >= -0.5
+            ),
+        }
+        print("fallback ordering:", json.dumps(ordering, indent=2))
     if args.json:
-        Path(args.json).write_text(json.dumps({"tracks": rows, "aggregate": agg}, indent=2))
+        Path(args.json).write_text(json.dumps(
+            {"tracks": rows, "aggregate": agg, "ordering": ordering}, indent=2))
 
     ok = (agg["si_snr_convtdf"] > agg["si_snr_spectral"]
           and agg["vad_f1_sep"] > agg["vad_f1_energy_gate"])
