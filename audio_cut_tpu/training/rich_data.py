@@ -142,12 +142,62 @@ def _vocal_rich(rng: np.random.Generator, n: int) -> np.ndarray:
     return (x * am * edge).astype(np.float32)
 
 
+def _vocal_legato(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Sung-vowel continuity (VERDICT r4): ONE unbroken held line — legato
+    note changes over a continuous phase, slow diphthong formant morphing,
+    sustained envelope with no syllable gating. Real singing holds vowels
+    for seconds; every other generator class gates at syllable rate, so
+    separators trained on them learn to expect amplitude modulation that
+    held notes don't have."""
+    t = np.arange(n) / SR
+    f0 = _riff_f0(rng, n)
+    # heavier glide smoothing; kernel may not exceed the phrase (np.convolve
+    # "same" returns the LONGER operand's length)
+    k = max(3, min(n // 2, int(rng.uniform(0.15, 0.4) * SR)))
+    f0 = np.convolve(f0, np.ones(k) / k, "same")
+    vib = 1 + rng.uniform(0.008, 0.025) * np.sin(
+        2 * np.pi * rng.uniform(4.5, 6.5) * t + rng.uniform(0, 6.28))
+    phase = 2 * np.pi * np.cumsum(f0 * vib) / SR
+    ia, ib = rng.choice(len(_FORMANTS), size=2, replace=False)
+    (fa1, fa2), (fb1, fb2) = _FORMANTS[ia], _FORMANTS[ib]
+    # slow vowel morph a->b->a (diphthong glide), 0.1-0.4 Hz
+    morph = 0.5 - 0.5 * np.cos(2 * np.pi * rng.uniform(0.1, 0.4) * t
+                               + rng.uniform(0, 6.28))
+    med = float(np.median(f0))
+    x = np.zeros(n)
+    for h in range(1, 13):
+        fh = h * med
+        if fh > SR / 2 - 2000:
+            break
+        ga = _formant_gain(np.array([fh]), fa1, fa2)[0] / (h ** 1.0)
+        gb = _formant_gain(np.array([fh]), fb1, fb2)[0] / (h ** 1.0)
+        x += (ga * (1 - morph) + gb * morph) * np.sin(h * phase + rng.uniform(0, 6.28))
+    # sustained envelope: slow attack, full sustain, gentle breath swell
+    attack = np.minimum(1.0, t / rng.uniform(0.08, 0.25))
+    release = np.minimum(1.0, (t[-1] - t) / rng.uniform(0.1, 0.3))
+    swell = 0.85 + 0.15 * np.sin(2 * np.pi * rng.uniform(0.4, 1.2) * t
+                                 + rng.uniform(0, 6.28))
+    x = x * attack * release * swell
+    # breath intake before the note (part of the vocal stem, like real takes)
+    bn = int(rng.uniform(0.05, 0.12) * SR)
+    if bn * 2 < n and rng.random() < 0.7:
+        breath = rng.standard_normal(bn) * np.hanning(bn)
+        x[:bn] += 0.12 * breath / max(1e-9, np.abs(breath).max()) * max(
+            1e-9, np.abs(x).max())
+    return x.astype(np.float32)
+
+
 def vocal_stem_rich(rng: np.random.Generator, n: int) -> np.ndarray:
     out = np.zeros(n, np.float32)
     pos = int(rng.uniform(0, 0.4) * SR)
     while pos < n - int(0.25 * SR):
-        pn = min(int(rng.uniform(0.4, 2.5) * SR), n - pos)
-        out[pos:pos + pn] += rng.uniform(0.25, 0.6) * _vocal_rich(rng, pn)
+        if rng.random() < 0.25:
+            # held-vowel phrase: longer, unbroken (sung-vowel continuity)
+            pn = min(int(rng.uniform(1.5, 4.0) * SR), n - pos)
+            out[pos:pos + pn] += rng.uniform(0.25, 0.6) * _vocal_legato(rng, pn)
+        else:
+            pn = min(int(rng.uniform(0.4, 2.5) * SR), n - pos)
+            out[pos:pos + pn] += rng.uniform(0.25, 0.6) * _vocal_rich(rng, pn)
         pos += pn + int(rng.uniform(0.15, 1.3) * SR)
     return out
 
@@ -317,6 +367,148 @@ def instrumental_stem_rich(rng: np.random.Generator, n: int) -> np.ndarray:
     return out
 
 
+def synth_pair_arrangement(rng: np.random.Generator, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-ARRANGEMENT pair (VERDICT r4): tempo/bar grid shared by every
+    part, section structure (sparse vs dense bars), and vocal phrases that
+    start on bar lines with true bar-long rests. Independent-layer
+    generators never produce the correlated onsets and section dynamics real
+    music has — which is exactly what a separator exploits or trips on."""
+    bpm = rng.uniform(70, 140)
+    beat = 60.0 / bpm
+    bar = 4 * beat
+    inst = np.zeros(n, np.float32)
+    dur = n / SR
+    n_bars = max(1, int(dur / bar) + 1)
+    # 4-bar sections alternate sparse/dense
+    dense = [(b // 4) % 2 == 1 for b in range(n_bars)]
+
+    # drums on the grid: pitch-swept kick each beat, clap backbeat on 2 & 4
+    for b_idx, onset in enumerate(np.arange(0.0, dur - 0.03, beat)):
+        i = int(onset * SR)
+        pn = min(int(0.12 * SR), n - i)
+        if pn > 0:
+            tt = np.arange(pn) / SR
+            f = 110.0 * np.exp(-tt / 0.03) + 45.0
+            kick = np.sin(2 * np.pi * np.cumsum(f) / SR) * np.exp(-tt / 0.05)
+            inst[i:i + pn] += rng.uniform(0.25, 0.45) * kick.astype(np.float32)
+        if b_idx % 4 in (1, 3):
+            cn = min(int(0.07 * SR), n - i)
+            if cn > 0:
+                clap = rng.standard_normal(cn) * np.exp(-np.arange(cn) / (0.012 * SR))
+                inst[i:i + cn] += rng.uniform(0.12, 0.28) * clap.astype(np.float32)
+
+    # harmony: per-bar roots from a small progression, bass + chords locked
+    root0 = rng.uniform(80, 200)
+    prog = rng.choice(np.array([0, 5, 7, 3]), size=n_bars)
+    for b in range(n_bars):
+        s0 = int(b * bar * SR)
+        s1 = min(int((b + 1) * bar * SR), n)
+        if s1 <= s0:
+            break
+        tt = np.arange(s1 - s0) / SR
+        root = root0 * 2 ** (prog[b] / 12.0)
+        # bass: gated eighth notes an octave down
+        gate = ((tt % (beat / 2)) < beat * 0.3).astype(np.float32)
+        inst[s0:s1] += (rng.uniform(0.12, 0.25) * gate
+                        * np.sin(2 * np.pi * root / 2 * tt)).astype(np.float32)
+        # chords: organ-ish sustained triad, hotter in dense sections
+        lvl = rng.uniform(0.10, 0.18) * (1.6 if dense[b] else 1.0)
+        env = 1 - np.exp(-tt / 0.15)
+        for ratio in (1.0, 1.25, 1.5):
+            inst[s0:s1] += (lvl / 3 * env
+                            * np.sin(2 * np.pi * root * ratio * tt
+                                     + rng.uniform(0, 6.28))).astype(np.float32)
+        # dense bars add brass-like stabs on beats 1 and 3
+        if dense[b]:
+            for k in (0, 2):
+                i = s0 + int(k * beat * SR)
+                pn = min(int(0.2 * SR), n - i)
+                if pn <= 0:
+                    continue
+                ts = np.arange(pn) / SR
+                scoop = 2 * root * (1 - 0.05 * np.exp(-ts / 0.04))
+                ph = 2 * np.pi * np.cumsum(scoop) / SR
+                note = sum(np.sin(h * ph + rng.uniform(0, 6.28)) / h ** 0.5
+                           for h in range(1, 7))
+                inst[i:i + pn] += (rng.uniform(0.08, 0.18) * note
+                                   * np.exp(-ts / 0.15)).astype(np.float32)
+    inst += (rng.standard_normal(n) * rng.uniform(0.003, 0.02)).astype(np.float32)
+
+    # vocal: phrases begin ON bar lines; every 4th bar is a true full rest
+    vocal = np.zeros(n, np.float32)
+    for b in range(n_bars):
+        if b % 4 == 3 or rng.random() < 0.2:
+            continue  # rest bar — the pause floor the cut guards search
+        i = int(b * bar * SR)
+        pn = min(int(rng.uniform(0.6, 0.95) * bar * SR), n - i)
+        if pn < int(0.2 * SR):
+            continue
+        phrase = (_vocal_legato(rng, pn) if rng.random() < 0.3
+                  else _vocal_rich(rng, pn))
+        vocal[i:i + pn] += rng.uniform(0.3, 0.6) * phrase
+
+    # harder band balance than the layer generators: full arrangements sit
+    # the vocal IN the band, not on top of it
+    mix = vocal + inst * rng.uniform(0.9, 2.4)
+    peak = max(float(np.abs(mix).max()), 1e-6)
+    if peak > 1.0:
+        mix, vocal = mix / peak, vocal / peak
+    return mix.astype(np.float32), vocal.astype(np.float32)
+
+
+def _crowd_bed(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Unpitched babble/room bed: several independently-AM'd band-noise
+    streams (crowd murmur, venue rumble) — an instrumental-side nuisance a
+    production separator must not mistake for breathy vocals."""
+    freqs = np.fft.rfftfreq(n, 1 / SR)
+    t = np.arange(n) / SR
+    out = np.zeros(n)
+    for _ in range(int(rng.integers(3, 6))):
+        center = rng.uniform(250, 2600)
+        shape = np.exp(-0.5 * ((freqs - center) / rng.uniform(200, 700)) ** 2)
+        s = np.fft.irfft(np.fft.rfft(rng.standard_normal(n)) * shape, n)
+        am = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.3, 3.0) * t
+                                + rng.uniform(0, 6.28))
+        out += s / max(1e-9, np.abs(s).max()) * am
+    return (out / max(1e-9, np.abs(out).max())).astype(np.float32)
+
+
+def _room_reverb_pair(rng: np.random.Generator, mix: np.ndarray,
+                      vocal: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Long shared room IR (0.3-0.9 s) applied COHERENTLY to both stems —
+    the same room for the whole band, unlike augment_pair's short per-stem
+    reverbs. Target stays the wet vocal (mastering convention)."""
+    ir_n = int(rng.uniform(0.3, 0.9) * SR)
+    ir = rng.standard_normal(ir_n) * np.exp(
+        -np.arange(ir_n) / (rng.uniform(0.08, 0.2) * SR))
+    ir[0] = 1.0
+    wet = rng.uniform(0.1, 0.3)
+    m = 1 << int(np.ceil(np.log2(mix.size + ir_n)))
+    fir = np.fft.rfft(ir, m)
+
+    def _wet(x):
+        y = np.fft.irfft(np.fft.rfft(x, m) * fir, m)[: x.size]
+        y = y / max(1e-9, float(np.abs(y).max())) * max(1e-9, float(np.abs(x).max()))
+        return ((1 - wet) * x + wet * y).astype(np.float32)
+
+    inst = mix - vocal
+    vocal, inst = _wet(vocal), _wet(inst)
+    return (vocal + inst).astype(np.float32), vocal
+
+
+def augment_pair_hard(rng: np.random.Generator, mix: np.ndarray,
+                      vocal: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Crowd bed + shared room IR on top of the classic channel effects."""
+    if rng.random() < 0.5:
+        inst = mix - vocal
+        inst = inst + (rng.uniform(0.02, 0.1) * max(1e-6, float(np.abs(mix).max()))
+                       * _crowd_bed(rng, mix.size))
+        mix = (vocal + inst).astype(np.float32)
+    if rng.random() < 0.5:
+        mix, vocal = _room_reverb_pair(rng, mix, vocal)
+    return augment_pair(rng, mix, vocal)
+
+
 def synth_pair_rich(rng: np.random.Generator, n: int) -> Tuple[np.ndarray, np.ndarray]:
     """One rich-family (mix, vocal) pair; vocal may also be classic-family
     (the classes union, so rich legs keep seeing classic voices)."""
@@ -331,17 +523,27 @@ def synth_pair_rich(rng: np.random.Generator, n: int) -> Tuple[np.ndarray, np.nd
 
 
 def rich_batches(window: int, batch: int, rng: np.random.Generator,
-                 augment: bool = True, classic_frac: float = 0.4):
-    """Infinite (mix [B,S], vocal [B,S]) batches mixing classic and rich
-    families, with channel augmentation (reverb/saturation/noise)."""
+                 augment: bool = True, classic_frac: float = 0.3,
+                 arrangement_frac: float = 0.25, hard_frac: float = 0.4):
+    """Infinite (mix [B,S], vocal [B,S]) batches mixing classic, rich, and
+    full-arrangement families, with channel augmentation (reverb/saturation/
+    noise; `hard_frac` of pairs also draw the crowd-bed / shared-room-IR
+    effects)."""
     from audio_cut_tpu.training.sep_data import synth_pair
 
     while True:
         mixes = np.empty((batch, window), np.float32)
         vocals = np.empty((batch, window), np.float32)
         for b in range(batch):
-            pair_fn = synth_pair if rng.random() < classic_frac else synth_pair_rich
+            u = rng.random()
+            if u < classic_frac:
+                pair_fn = synth_pair
+            elif u < classic_frac + arrangement_frac:
+                pair_fn = synth_pair_arrangement
+            else:
+                pair_fn = synth_pair_rich
             mixes[b], vocals[b] = pair_fn(rng, window)
             if augment:
-                mixes[b], vocals[b] = augment_pair(rng, mixes[b], vocals[b])
+                aug = augment_pair_hard if rng.random() < hard_frac else augment_pair
+                mixes[b], vocals[b] = aug(rng, mixes[b], vocals[b])
         yield mixes, vocals

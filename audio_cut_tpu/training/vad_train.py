@@ -94,6 +94,74 @@ def synth_batch(rng: np.random.Generator, cfg: VadTrainConfig) -> Tuple[np.ndarr
     return audio, labels
 
 
+def rich_vad_batch(
+    rng: np.random.Generator,
+    cfg: VadTrainConfig,
+    bleed: Tuple[float, float] = (0.05, 0.45),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(audio, frame_labels) from the SEPARATION training families, with the
+    net input simulating a SEPARATED vocal stem.
+
+    Production feeds the VAD the separator's output, not a clean stem
+    (VERDICT r3 #6): real stems carry instrumental bleed, noise, and decay
+    tails. Simulated here as clean vocal + alpha*instrumental + hiss, with
+    labels from the CLEAN vocal's activity — so the net learns to call
+    bleed 'not voice' at every bleed level it will meet in production.
+    """
+    from audio_cut_tpu.io.audio import resample_poly
+    from audio_cut_tpu.training.eval_data import vocal_activity_frames
+    from audio_cut_tpu.training.rich_data import (
+        synth_pair_arrangement,
+        synth_pair_rich,
+    )
+    from audio_cut_tpu.training.sep_data import SR as SEP_SR
+    from audio_cut_tpu.training.sep_data import synth_pair
+
+    n44 = int(cfg.clip_s * SEP_SR)
+    # same clip length as synth_batch so mixed batches share ONE compiled
+    # train-step shape (labels cover the first n_frames*FRAME samples)
+    t16 = int(cfg.clip_s * VAD_SR)
+    n_frames = t16 // FRAME
+    audio = np.zeros((cfg.batch_size, t16), np.float32)
+    labels = np.zeros((cfg.batch_size, n_frames), np.float32)
+    for b in range(cfg.batch_size):
+        u = rng.random()
+        if u < 0.3:
+            pair_fn = synth_pair
+        elif u < 0.55:
+            pair_fn = synth_pair_arrangement
+        else:
+            pair_fn = synth_pair_rich
+        mix, vocal = pair_fn(rng, n44)
+        inst = mix - vocal
+
+        def _to16(x):
+            y = resample_poly(x.astype(np.float32), SEP_SR, VAD_SR)
+            if y.size < t16:
+                y = np.pad(y, (0, t16 - y.size))
+            return y[:t16]
+
+        v16, i16 = _to16(vocal), _to16(inst)
+        stem = v16 + rng.uniform(*bleed) * i16
+        if rng.random() < 0.3:
+            stem = stem + rng.standard_normal(t16).astype(np.float32) * rng.uniform(0.002, 0.01)
+        peak = float(np.abs(stem).max())
+        if peak > 1.0:
+            stem = stem / peak
+        audio[b] = stem
+        labels[b] = vocal_activity_frames(v16, FRAME, FRAME)[:n_frames]
+    return audio, labels
+
+
+def mixed_vad_batch(rng: np.random.Generator, cfg: VadTrainConfig,
+                    rich_frac: float = 0.6) -> Tuple[np.ndarray, np.ndarray]:
+    """Blend of the classic loud-bed generator (energy-gate hard negatives)
+    and the separated-stem rich generator, per batch."""
+    if rng.random() < rich_frac:
+        return rich_vad_batch(rng, cfg)
+    return synth_batch(rng, cfg)
+
+
 class VadTrainer:
     def __init__(self, cfg: Optional[VadTrainConfig] = None, seed: int = 0):
         self.cfg = cfg or VadTrainConfig()
@@ -120,11 +188,13 @@ class VadTrainer:
 
         return step
 
-    def train(self, steps: int, rng: Optional[np.random.Generator] = None) -> Dict[str, float]:
+    def train(self, steps: int, rng: Optional[np.random.Generator] = None,
+              batch_fn=None) -> Dict[str, float]:
         rng = rng or np.random.default_rng(0)
+        batch_fn = batch_fn or synth_batch
         loss = acc = 0.0
         for _ in range(steps):
-            audio, labels = synth_batch(rng, self.cfg)
+            audio, labels = batch_fn(rng, self.cfg)
             self.params, self.opt_state, loss, acc = self._step(
                 self.params, self.opt_state, jnp.asarray(audio), jnp.asarray(labels)
             )
