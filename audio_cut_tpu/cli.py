@@ -54,7 +54,8 @@ examples:
     parser.add_argument("--compat-config-path", default=None,
                         help="path of the legacy config for --compat-config")
     parser.add_argument("--lyrics-provider",
-                        choices=["disabled", "fake", "auto", "sidecar", "cli", "null"], default=None)
+                        choices=["disabled", "fake", "auto", "sidecar", "cli",
+                                 "in_process", "null"], default=None)
     parser.add_argument("--lyrics-fixture", default=None,
                         help="timeline fixture JSON for the fake provider")
     parser.add_argument("--sidecar-endpoint", "--firered-endpoint", dest="sidecar_endpoint", default=None)

@@ -3,9 +3,10 @@
 promote it only if it wins.
 
 Both checkpoints are scored with the same held-out synthetic evals (fixed
-seeds) on TWO families: the classic generator (training/sep_data.py) and the
-widened rich generator (training/rich_data.py). Promotion requires the
-candidate's mean SI-SNR across both families to beat the packaged weights
+seeds) on THREE families: the classic generator (training/sep_data.py), the
+widened rich generator, and the full-arrangement generator (both in
+training/rich_data.py). Promotion requires the
+candidate's mean SI-SNR across the families to beat the packaged weights
 WITHOUT regressing the classic family by more than --classic-slack dB — so a
 rich-trained leg can't trade away the in-distribution quality the diff gates
 were pinned on. The OOD eval family (training/eval_data.py) is never scored
@@ -51,7 +52,10 @@ def main() -> int:
     import numpy as np
 
     from audio_cut_tpu.models.convtdf import load_checkpoint
-    from audio_cut_tpu.training.rich_data import synth_pair_rich
+    from audio_cut_tpu.training.rich_data import (
+        synth_pair_arrangement,
+        synth_pair_rich,
+    )
     from audio_cut_tpu.training.sep_data import si_snr, synth_pair
 
     if args.family == "waveunet":
@@ -71,8 +75,11 @@ def main() -> int:
         params = load_checkpoint(
             str(path), template=lambda: sep.init_params(jax.random.PRNGKey(0)))
         out = {}
-        for fam, pair_fn, seed in (("classic", synth_pair, args.seed),
-                                   ("rich", synth_pair_rich, args.seed + 4242)):
+        for fam, pair_fn, seed in (
+            ("classic", synth_pair, args.seed),
+            ("rich", synth_pair_rich, args.seed + 4242),
+            ("arrangement", synth_pair_arrangement, args.seed + 777),
+        ):
             rng = np.random.default_rng(seed)
             scores = []
             for _ in range(args.pairs):
@@ -80,7 +87,7 @@ def main() -> int:
                 v, _ = fwd(params, mix[None])
                 scores.append(si_snr(np.asarray(v[0]), vocal))
             out[fam] = float(np.mean(scores))
-        out["mean"] = (out["classic"] + out["rich"]) / 2.0
+        out["mean"] = (out["classic"] + out["rich"] + out["arrangement"]) / 3.0
         return out
 
     packaged = PACKAGED[args.family]

@@ -290,7 +290,14 @@ def main() -> int:
         return 4
 
     if args.bootstrap or args.tiny:
-        conv_db, spec_db = evaluate_si_snr(sep, trainer.params, n_pairs=args.eval_pairs)
+        eval_sep = sep
+        if args.tiny:
+            # evaluate at the SERVING window: the tiny training window
+            # (0.37 s) often contains no vocal at all, which turns SI-SNR
+            # into a meaningless huge-negative number
+            eval_sep = ConvTDFSeparator(
+                44100, **{**TINY_GEOMETRY, "dim_t": TINY_SERVING_DIM_T})
+        conv_db, spec_db = evaluate_si_snr(eval_sep, trainer.params, n_pairs=args.eval_pairs)
         print(f"held-out SI-SNR: convtdf {conv_db:.2f} dB vs spectral {spec_db:.2f} dB "
               f"({'BEATS' if conv_db > spec_db else 'BELOW'} the model-free baseline)",
               flush=True)
