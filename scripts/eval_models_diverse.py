@@ -45,6 +45,15 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=6.0)
     ap.add_argument("--json", default=None)
     ap.add_argument("--tpu", action="store_true", help="run on the attached TPU")
+    ap.add_argument("--convtdf-checkpoint", default=None,
+                    help="evaluate a CANDIDATE ConvTDF checkpoint instead of "
+                         "the packaged one (pre-promotion OOD scoring)")
+    ap.add_argument("--vad-checkpoint", default=None,
+                    help="evaluate a CANDIDATE ConvVAD checkpoint instead of "
+                         "the packaged one")
+    ap.add_argument("--waveunet-checkpoint", default=None,
+                    help="evaluate a CANDIDATE WaveUNet checkpoint instead "
+                         "of the packaged one")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -61,19 +70,23 @@ def main() -> int:
     from audio_cut_tpu.training.eval_data import SR, eval_pair, vocal_activity_frames
     from audio_cut_tpu.training.sep_data import si_snr
 
-    if packaged_checkpoint_path() is None:
+    if packaged_checkpoint_path() is None and not args.convtdf_checkpoint:
         print("no packaged convtdf checkpoint in this build")
         return 1
-    set_runtime_config({"enhanced_separation.convtdf.checkpoint": "packaged"})
+    set_runtime_config({"enhanced_separation.convtdf.checkpoint":
+                        args.convtdf_checkpoint or "packaged"})
     convtdf = make_backend("convtdf", SR)
     spectral = make_backend("spectral", SR)
     from audio_cut_tpu.models.waveunet import packaged_checkpoint_path as wu_ckpt
 
     waveunet = None
-    if wu_ckpt() is not None:
-        set_runtime_config({"enhanced_separation.waveunet.checkpoint": "packaged"})
+    if wu_ckpt() is not None or args.waveunet_checkpoint:
+        set_runtime_config({"enhanced_separation.waveunet.checkpoint":
+                            args.waveunet_checkpoint or "packaged"})
         waveunet = make_backend("waveunet", SR)
-    vad = build_vad(SR)  # packaged production checkpoint
+    if args.vad_checkpoint:
+        set_runtime_config({"vad.checkpoint": args.vad_checkpoint})
+    vad = build_vad(SR)  # packaged production checkpoint (or candidate)
     assert isinstance(vad, ConvVAD) and vad.trained, "packaged ConvVAD required"
 
     n = int(args.seconds * SR)

@@ -143,6 +143,10 @@ def main() -> int:
                          "packaged_tiny checkpoint that lets the always-run "
                          "CPU suite exercise the neural precision gate")
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--pause-weight", type=float, default=None,
+                    help="override TrainConfig.pause_loss_weight (pause-"
+                         "suppression RMS penalty; drives the OOD "
+                         "pause_resid_db metric that gates cut precision)")
     ap.add_argument("--eval-pairs", type=int, default=6)
     ap.add_argument("--max-minutes", type=float, default=0.0,
                     help="wall-clock budget; exits cleanly (saving the "
@@ -201,6 +205,10 @@ def main() -> int:
         if probe_s > args.probe_threshold_s:
             print("degraded attach — exiting rc=3; rerun in a fresh process", flush=True)
             return 3
+    cfg_kwargs = dict(learning_rate=args.lr)
+    if args.pause_weight is not None:
+        cfg_kwargs["pause_loss_weight"] = args.pause_weight
+    train_cfg = TrainConfig(**cfg_kwargs)
     if args.family == "waveunet":
         from audio_cut_tpu.models.waveunet import WaveUNetSeparator
         from audio_cut_tpu.training.wave_trainer import WaveTrainer
@@ -209,20 +217,20 @@ def main() -> int:
             sep = WaveUNetSeparator(44100, window_samples=16384, channels=8, depth=3)
         else:
             sep = WaveUNetSeparator(44100, **WAVEUNET_GEOMETRY)
-        trainer = WaveTrainer(sep, TrainConfig(learning_rate=args.lr))
+        trainer = WaveTrainer(sep, train_cfg)
     elif args.small:
         sep = ConvTDFSeparator(44100, n_fft=512, hop=128, dim_f=128, dim_t=32,
                                channels=8, depth=2, tdf_bottleneck=16)
-        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+        trainer = Trainer(sep, train_cfg)
     elif args.tiny:
         sep = ConvTDFSeparator(44100, **TINY_GEOMETRY)
-        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+        trainer = Trainer(sep, train_cfg)
     elif args.bootstrap:
         sep = ConvTDFSeparator(44100, **BOOTSTRAP_GEOMETRY)
-        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+        trainer = Trainer(sep, train_cfg)
     else:
         sep = ConvTDFSeparator(44100)
-        trainer = Trainer(sep, TrainConfig(learning_rate=args.lr))
+        trainer = Trainer(sep, train_cfg)
     if args.resume:
         import jax
 
