@@ -198,8 +198,14 @@ class ConvTDFBackend:
             # the bootstrap sidecar omits dim_t (window stays config-driven —
             # the net is fully convolutional over T) while the tiny sidecar
             # pins its own serving dim_t for the CPU tier
-            meta = _packaged_geometry(resolved)
             ckpt = resolved
+        if ckpt:
+            # any msgpack checkpoint may carry a geometry sidecar (<ckpt>.json,
+            # written by scripts/train_separator.py) pinning the net it was
+            # trained with — candidate/promoted checkpoints included, not just
+            # the packaged ones; the saved params only deserialize against
+            # that geometry, so the sidecar is authoritative where present
+            meta = _packaged_geometry(ckpt)
             for key in ("n_fft", "hop", "dim_f", "dim_t", "channels", "depth",
                         "tdf_bottleneck"):
                 if key in meta:

@@ -141,7 +141,11 @@ class WaveUNetBackend:
                     "packaged checkpoint ships in this build "
                     f"(models/weights/{PACKAGED_CHECKPOINT})"
                 )
-            meta = _packaged_geometry(ckpt)
+        if ckpt:
+            # the geometry sidecar (<ckpt>.json) is authoritative for ANY
+            # msgpack checkpoint that ships one — candidates included, same
+            # rule as ConvTDFBackend
+            meta = _packaged_geometry(str(ckpt))
             for key in ("channels", "depth"):
                 if key in meta:
                     geometry[key] = int(meta[key])
