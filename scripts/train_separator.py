@@ -164,6 +164,15 @@ def main() -> int:
                     help="widened timbre families (training/rich_data.py) "
                          "mixed with the classic generator, augmentation on "
                          "— the OOD-generalization training leg")
+    ap.add_argument("--classic-frac", type=float, default=0.3,
+                    help="--rich family mix: fraction of classic-generator "
+                         "pairs (recovers in-distribution quality)")
+    ap.add_argument("--arrangement-frac", type=float, default=0.25,
+                    help="--rich family mix: fraction of full-arrangement "
+                         "pairs (correlated bar-grid onsets)")
+    ap.add_argument("--hard-frac", type=float, default=0.4,
+                    help="--rich family mix: fraction drawing crowd-bed / "
+                         "shared-room-IR hard augmentation")
     ap.add_argument("--family", choices=("convtdf", "waveunet"), default="convtdf",
                     help="separator family: spectrogram mask net (default) "
                          "or the Demucs-role waveform U-Net second tier")
@@ -254,7 +263,10 @@ def main() -> int:
     if (args.bootstrap or args.tiny) and args.rich:
         from audio_cut_tpu.training.rich_data import rich_batches
 
-        batches = rich_batches(sep.window_samples, args.batch, rng)
+        batches = rich_batches(sep.window_samples, args.batch, rng,
+                               classic_frac=args.classic_frac,
+                               arrangement_frac=args.arrangement_frac,
+                               hard_frac=args.hard_frac)
     elif args.bootstrap or args.tiny:
         from audio_cut_tpu.training.sep_data import synth_batches
 
