@@ -72,7 +72,7 @@ def _binned_window_sums(sq: jnp.ndarray, window: int) -> Tuple[jnp.ndarray, jnp.
     jax.jit,
     static_argnames=("sr", "feat_hop", "fine_hop", "fine_frame", "guard_win",
                      "refine_win", "act_hop", "act_frame", "vad_channels",
-                     "vad_depth"),
+                     "vad_depth", "vad_context"),
 )
 def _bundle_fn(
     mix: jnp.ndarray,
@@ -88,6 +88,7 @@ def _bundle_fn(
     act_frame: int,
     vad_channels: int = 0,
     vad_depth: int = 0,
+    vad_context: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     out = dict(_compute_features(mix, feat_hop, sr / feat_hop))
     out["vocal_rms_grid"] = frame_rms(vocal, 2048, feat_hop)
@@ -103,7 +104,8 @@ def _bundle_fn(
         from audio_cut_tpu.models.vad import device_probs_graph  # noqa: PLC0415
 
         out["vad_probs"] = device_probs_graph(
-            vad_params, vocal, sr_in=sr, channels=vad_channels, depth=vad_depth
+            vad_params, vocal, sr_in=sr, channels=vad_channels,
+            depth=vad_depth, context=vad_context,
         )
         # vocal energy for the separation-confidence heuristic: one more
         # scalar in the flat transfer instead of its own round trip. SUM, not
@@ -117,7 +119,7 @@ def _bundle_fn(
     jax.jit,
     static_argnames=("sr", "feat_hop", "fine_hop", "fine_frame", "guard_win",
                      "refine_win", "act_hop", "act_frame", "vad_channels",
-                     "vad_depth"),
+                     "vad_depth", "vad_context"),
 )
 def _bundle_flat_fn(
     mix: jnp.ndarray,
@@ -133,10 +135,11 @@ def _bundle_flat_fn(
     act_frame: int,
     vad_channels: int = 0,
     vad_depth: int = 0,
+    vad_context: int = 0,
 ) -> jnp.ndarray:
     out = _bundle_fn(mix, vocal, vad_params, sr, feat_hop, fine_hop, fine_frame,
                      guard_win, refine_win, act_hop, act_frame,
-                     vad_channels, vad_depth)
+                     vad_channels, vad_depth, vad_context)
     return jnp.concatenate([
         jnp.ravel(out[k]).astype(jnp.float32) for k in sorted(out)
     ])
@@ -180,13 +183,16 @@ def bundle_shapes(padded_len: int, sr: int, statics, vad_model):
     (flax apply included) costs ~0.6 s host time per call on a 1-core host."""
     vad_channels = vad_model.net.channels if vad_model is not None else 0
     vad_depth = vad_model.net.depth if vad_model is not None else 0
-    shape_key = (padded_len, sr, statics, vad_channels, vad_depth, vad_model is not None)
+    vad_context = vad_model.net.context if vad_model is not None else 0
+    shape_key = (padded_len, sr, statics, vad_channels, vad_depth, vad_context,
+                 vad_model is not None)
     shapes = _EVAL_SHAPE_CACHE.get(shape_key)
     if shapes is None:
         x = jax.ShapeDtypeStruct((padded_len,), jnp.float32)
         vad_params = vad_model.params if vad_model is not None else None
         shapes = jax.eval_shape(
-            lambda p: _bundle_fn(x, x, p, sr, *statics, vad_channels, vad_depth),
+            lambda p: _bundle_fn(x, x, p, sr, *statics, vad_channels,
+                                 vad_depth, vad_context),
             vad_params,
         )
         _EVAL_SHAPE_CACHE[shape_key] = shapes
@@ -281,7 +287,9 @@ def build_detection_bundle(
     vad_params = vad_model.params if vad_model is not None else None
     vad_channels = vad_model.net.channels if vad_model is not None else 0
     vad_depth = vad_model.net.depth if vad_model is not None else 0
-    args = (mix_dev, vocal_dev, vad_params, sr, *statics, vad_channels, vad_depth)
+    vad_context = vad_model.net.context if vad_model is not None else 0
+    args = (mix_dev, vocal_dev, vad_params, sr, *statics, vad_channels,
+            vad_depth, vad_context)
     shapes = bundle_shapes(int(mix_dev.shape[-1]), sr, statics, vad_model)
     flat_host = np.asarray(_bundle_flat_fn(*args))
     return unpack_bundle(flat_host, shapes, sr, n_true, statics, vad_model)

@@ -29,6 +29,13 @@ LENGTH_BUCKET = 4096   # pad-to-bucket (reference: silero_length_bucket)
 class ConvVADNet(nn.Module):
     channels: int = 32
     depth: int = 4
+    # dilated frame-rate context convs after the strided encoder. The
+    # encoder's waveform receptive field is ~48 ms, far below the defining
+    # voice cues (syllabic AM 3-6 Hz, vibrato 4.5-7 Hz: 150-300 ms periods);
+    # `context` residual convs at the 31.25 Hz frame grid (kernel 5,
+    # dilation 2^i) widen it to ~1 s for context=3 — the round-4 F1 push
+    # toward the reference PRD's >=0.85 vocal-detection accuracy bar.
+    context: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,6 +56,11 @@ class ConvVADNet(nn.Module):
         if target > 0 and h.shape[1] != target:
             h = h[:, : target * (h.shape[1] // target), :]
             h = h.reshape(h.shape[0], target, -1, h.shape[-1]).mean(axis=2)
+        for c in range(self.context):
+            g = nn.Conv(h.shape[-1], (5,), kernel_dilation=(2 ** c,),
+                        padding="SAME")(h)
+            g = nn.GroupNorm(num_groups=4)(g)
+            h = h + nn.gelu(g)
         logits = nn.Dense(1)(h)[..., 0]
         return logits
 
@@ -59,10 +71,10 @@ class ConvVADNet(nn.Module):
 _FWD_CACHE: dict = {}
 
 
-def _jitted_forward(channels: int, depth: int):
-    key = (channels, depth)
+def _jitted_forward(channels: int, depth: int, context: int = 0):
+    key = (channels, depth, context)
     if key not in _FWD_CACHE:
-        net = ConvVADNet(channels=channels, depth=depth)
+        net = ConvVADNet(channels=channels, depth=depth, context=context)
 
         def fwd(p, x, _net=net):
             return jax.nn.sigmoid(_net.apply({"params": p}, x))
@@ -72,10 +84,18 @@ def _jitted_forward(channels: int, depth: int):
 
 
 # fixed inference window: one compiled program serves every track length.
-# 8 s interior + 0.25 s halo each side (the conv receptive field is ~0.3 s,
-# so trimmed halo frames remove all window-edge artifacts).
+# 8 s interior + 0.25 s halo each side (the encoder receptive field is
+# ~0.3 s; each dilated context layer adds up to 2*2^i frames per side, so
+# the halo widens with `context` below).
 WINDOW_S = 8.0
 HALO_S = 0.25
+
+
+def context_halo_s(context: int) -> float:
+    """Per-side halo covering the frame-rate context block's receptive
+    field: kernel 5 at dilation 2^i spreads 2*2^i frames per side, 32 ms
+    each; 0.16 s per layer upper-bounds it for context <= 3."""
+    return HALO_S + 0.16 * int(context)
 
 # packaged bootstrap checkpoint (trained by scripts/train_vad.py on the
 # synthetic voice-vs-music generator in training/vad_train.py)
@@ -94,14 +114,39 @@ def load_vad_params(net: ConvVADNet, checkpoint: str) -> Any:
     return ocp.StandardCheckpointer().restore(checkpoint)
 
 
+def read_vad_sidecar(checkpoint: str) -> dict:
+    """Architecture/calibration sidecar `<checkpoint>.json` (same mechanism
+    as the separator geometry sidecars): {channels, depth, context,
+    threshold}. Missing file -> {} (the v1 default architecture)."""
+    import json
+    import os
+
+    path = str(checkpoint) + ".json"
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 class ConvVAD:
-    """Operational wrapper: native-SR audio in, VadResult out."""
+    """Operational wrapper: native-SR audio in, VadResult out.
+
+    ``threshold=None`` resolves to the checkpoint sidecar's calibrated
+    threshold (falling back to 0.5) — an explicit float always wins.
+    """
 
     def __init__(self, sample_rate: int, checkpoint: Optional[str] = None,
-                 threshold: float = 0.5):
+                 threshold: Optional[float] = 0.5):
         self.native_sr = int(sample_rate)
+        sidecar = read_vad_sidecar(checkpoint) if checkpoint else {}
+        if threshold is None:
+            threshold = sidecar.get("threshold", 0.5)
         self.threshold = float(threshold)
-        self.net = ConvVADNet()
+        self.net = ConvVADNet(
+            channels=int(sidecar.get("channels", 32)),
+            depth=int(sidecar.get("depth", 4)),
+            context=int(sidecar.get("context", 0)),
+        )
         if checkpoint:
             self.params = load_vad_params(self.net, checkpoint)
             self.trained = True
@@ -115,7 +160,8 @@ class ConvVAD:
             dummy = jnp.zeros((1, LENGTH_BUCKET), jnp.float32)
             self.params = self.net.init(jax.random.PRNGKey(0), dummy)["params"]
             self.trained = False
-        self._fwd = _jitted_forward(self.net.channels, self.net.depth)
+        self._fwd = _jitted_forward(self.net.channels, self.net.depth,
+                                    self.net.context)
 
     def speech_probs(self, audio: np.ndarray) -> Tuple[np.ndarray, float]:
         """(per-frame speech probability, frames-per-second at native scale).
@@ -129,7 +175,7 @@ class ConvVAD:
         x16 = resample_poly(to_mono(np.asarray(audio, np.float32)), self.native_sr, VAD_SR)
         true_frames = x16.shape[-1] // FRAME
 
-        halo = int(HALO_S * VAD_SR) // FRAME * FRAME
+        halo = int(context_halo_s(self.net.context) * VAD_SR) // FRAME * FRAME
         interior = int(WINDOW_S * VAD_SR) // FRAME * FRAME
         window = interior + 2 * halo
         if x16.shape[-1] <= window:
@@ -162,7 +208,8 @@ class ConvVAD:
         in_len = max(bucket, -(-n // bucket) * bucket)
         if in_len != n:
             audio_dev = jnp.pad(audio_dev, (0, in_len - n))
-        fwd = _jitted_device_probs(self.net.channels, self.net.depth, self.native_sr, in_len)
+        fwd = _jitted_device_probs(self.net.channels, self.net.depth,
+                                   self.net.context, self.native_sr, in_len)
         probs = np.asarray(fwd(self.params, audio_dev))
         true_frames = int(n_true * VAD_SR / self.native_sr) // FRAME
         return probs[:true_frames], VAD_SR / FRAME
@@ -210,7 +257,8 @@ _DEV_PROBS_CACHE: dict = {}
 
 
 def device_probs_graph(params, x: jnp.ndarray, *, sr_in: int,
-                       channels: int = 32, depth: int = 4) -> jnp.ndarray:
+                       channels: int = 32, depth: int = 4,
+                       context: int = 0) -> jnp.ndarray:
     """Resample-to-16k + conv-forward GRAPH over a padded device waveform.
 
     Traceable inside an enclosing jit (the DetectionBundle fuses it into its
@@ -219,9 +267,9 @@ def device_probs_graph(params, x: jnp.ndarray, *, sr_in: int,
     frame probabilities. ``x.shape[-1]`` is static at trace time.
     """
     in_len = int(x.shape[-1])
-    net = ConvVADNet(channels=channels, depth=depth)
+    net = ConvVADNet(channels=channels, depth=depth, context=context)
     out_len = int(round(in_len * VAD_SR / sr_in))
-    halo = int(HALO_S * VAD_SR) // FRAME * FRAME
+    halo = int(context_halo_s(context) * VAD_SR) // FRAME * FRAME
     interior = int(WINDOW_S * VAD_SR) // FRAME * FRAME
     window = interior + 2 * halo
     n_windows = max(1, -(-out_len // interior))
@@ -245,15 +293,17 @@ def device_probs_graph(params, x: jnp.ndarray, *, sr_in: int,
     return probs[:, hf:hf + interior // FRAME].reshape(-1)
 
 
-def _jitted_device_probs(channels: int, depth: int, sr_in: int, in_len: int):
+def _jitted_device_probs(channels: int, depth: int, context: int,
+                         sr_in: int, in_len: int):
     """Standalone jitted wrapper of device_probs_graph (used when the bundle
     program is unavailable). Keyed by (arch, sr, padded input length):
     track lengths are bucket-padded, so compiles stay bounded."""
-    key = (channels, depth, sr_in, in_len)
+    key = (channels, depth, context, sr_in, in_len)
     if key not in _DEV_PROBS_CACHE:
         _DEV_PROBS_CACHE[key] = jax.jit(
             lambda params, x: device_probs_graph(
-                params, x, sr_in=sr_in, channels=channels, depth=depth
+                params, x, sr_in=sr_in, channels=channels, depth=depth,
+                context=context,
             )
         )
     return _DEV_PROBS_CACHE[key]
@@ -284,7 +334,10 @@ def build_vad(sample_rate: int):
     from audio_cut_tpu.detection.vad import EnergyGateDetector
 
     backend = str(get_config("vad.backend", "conv"))
-    threshold = float(get_config("vad.threshold", 0.5))
+    # null/absent threshold -> the checkpoint sidecar's calibrated value
+    threshold = get_config("vad.threshold", None)
+    if threshold is not None:
+        threshold = float(threshold)
     if backend == "conv":
         ckpt = get_config("vad.checkpoint") or default_checkpoint_path()
         if ckpt:

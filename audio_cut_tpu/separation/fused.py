@@ -57,9 +57,10 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
 
     vad_channels = vad_model.net.channels if vad_model is not None else 0
     vad_depth = vad_model.net.depth if vad_model is not None else 0
+    vad_context = vad_model.net.context if vad_model is not None else 0
     key = (engine._backend_name, backend_cache_token(engine.backend), sr, padded_len,
            engine.chunk_s, engine.overlap_s, engine.halo_s, engine.align,
-           statics, vad_channels, vad_depth, vad_model is not None,
+           statics, vad_channels, vad_depth, vad_context, vad_model is not None,
            bool(get_config("device_pipeline.pipelined_upload", True)),
            int(get_config("device_pipeline.piece_windows", 2)),
            int(get_config("device_pipeline.max_pieces", 8)))
@@ -75,7 +76,7 @@ def _fused_fn(engine, padded_len: int, sr: int, statics, vad_model):
         vocal = vocal * tail
         inst = inst * tail
         out = _bundle_fn(mix_f32, vocal, vad_params, sr, *statics,
-                         vad_channels, vad_depth)
+                         vad_channels, vad_depth, vad_context)
         flat = jnp.concatenate([
             jnp.ravel(out[k]).astype(jnp.float32) for k in sorted(out)
         ])

@@ -163,9 +163,10 @@ def mixed_vad_batch(rng: np.random.Generator, cfg: VadTrainConfig,
 
 
 class VadTrainer:
-    def __init__(self, cfg: Optional[VadTrainConfig] = None, seed: int = 0):
+    def __init__(self, cfg: Optional[VadTrainConfig] = None, seed: int = 0,
+                 channels: int = 32, depth: int = 4, context: int = 0):
         self.cfg = cfg or VadTrainConfig()
-        self.net = ConvVADNet()
+        self.net = ConvVADNet(channels=channels, depth=depth, context=context)
         t = int(self.cfg.clip_s * VAD_SR)
         self.params = self.net.init(jax.random.PRNGKey(seed), jnp.zeros((1, t)))["params"]
         self.opt = optax.adamw(self.cfg.learning_rate)

@@ -33,6 +33,29 @@ def frame_f1(pred: "np.ndarray", truth: "np.ndarray") -> float:
     return 2 * p * r / (p + r)
 
 
+def calibrate_threshold(params, net, rng, n_clips: int = 48):
+    """F1-max probability threshold on held-out SEPARATED-STEM clips (the
+    production input). Returned threshold is stored in the checkpoint
+    sidecar and used by ConvVAD when config leaves vad.threshold null."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_cut_tpu.training.vad_train import VadTrainConfig, rich_vad_batch
+
+    cfg = VadTrainConfig(batch_size=n_clips, clip_s=4.0)
+    audio, labels = rich_vad_batch(rng, cfg)
+    truth = labels > 0.5
+    fwd = jax.jit(lambda p, x: jax.nn.sigmoid(net.apply({"params": p}, x)))
+    probs = np.asarray(fwd(params, jnp.asarray(audio)))
+    best_t, best_f1 = 0.5, -1.0
+    for t in np.arange(0.20, 0.81, 0.05):
+        f1 = frame_f1(probs > t, truth)
+        if f1 > best_f1:
+            best_t, best_f1 = float(round(t, 2)), f1
+    return best_t, best_f1
+
+
 def evaluate(params, net, rng, n_clips: int = 32):
     """Held-out frame F1: conv net vs an RMS energy gate, same clips."""
     import jax
@@ -76,6 +99,13 @@ def main() -> None:
                          "checkpoint ('packaged' or a path) for fine-tuning")
     ap.add_argument("--max-minutes", type=float, default=0.0,
                     help="wall-clock budget; exits cleanly when exceeded")
+    ap.add_argument("--context", type=int, default=0,
+                    help="dilated frame-rate context layers (receptive "
+                         "field ~1 s at 3 — covers syllabic AM / vibrato "
+                         "periods the 48 ms encoder cannot see)")
+    ap.add_argument("--channels", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
     import jax
@@ -91,7 +121,10 @@ def main() -> None:
         mixed_vad_batch,
     )
 
-    trainer = VadTrainer(VadTrainConfig(batch_size=16, clip_s=2.0), seed=0)
+    trainer = VadTrainer(
+        VadTrainConfig(batch_size=16, clip_s=2.0, learning_rate=args.lr),
+        seed=0, channels=args.channels, depth=args.depth, context=args.context,
+    )
     if args.resume:
         from flax import serialization
 
@@ -121,9 +154,20 @@ def main() -> None:
 
     conv_f1, gate_f1 = evaluate(trainer.params, trainer.net, np.random.default_rng(7))
     print(f"held-out frame F1: conv {conv_f1:.3f} vs energy gate {gate_f1:.3f}")
+    thr, thr_f1 = calibrate_threshold(trainer.params, trainer.net,
+                                      np.random.default_rng(11))
+    print(f"calibrated threshold {thr:.2f} (separated-stem F1 {thr_f1:.3f})")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     trainer.save(args.out)
+    if str(args.out).endswith(".msgpack"):
+        import json
+
+        sidecar = {"channels": args.channels, "depth": args.depth,
+                   "context": args.context, "threshold": thr}
+        with open(args.out + ".json", "w") as f:
+            json.dump(sidecar, f, indent=1)
+        print(f"sidecar {args.out}.json: {sidecar}")
     print(f"saved {args.out} ({os.path.getsize(args.out)} bytes)")
     if conv_f1 <= gate_f1:
         print("WARNING: conv VAD did not beat the energy gate; train longer")

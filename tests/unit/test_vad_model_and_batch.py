@@ -162,3 +162,48 @@ def test_device_path_matches_host_path():
     agreement = float(np.mean(mask_h == mask_d))
     assert agreement > 0.9, f"mask agreement {agreement:.3f}"
     assert float(np.mean(np.abs(p_host[:n] - p_dev[:n]))) < 0.1
+
+
+def test_vad_sidecar_architecture_and_threshold(tmp_path):
+    """Checkpoint sidecar drives architecture (context layers) and the
+    calibrated threshold; an explicit threshold always wins; sidecar-less
+    checkpoints keep the v1 default architecture."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from audio_cut_tpu.models.vad import (
+        FRAME,
+        LENGTH_BUCKET,
+        ConvVAD,
+        ConvVADNet,
+        context_halo_s,
+    )
+
+    net = ConvVADNet(context=2)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, LENGTH_BUCKET)))["params"]
+    ck = str(tmp_path / "vad.msgpack")
+    with open(ck, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    json.dump({"channels": 32, "depth": 4, "context": 2, "threshold": 0.35},
+              open(ck + ".json", "w"))
+
+    vad = ConvVAD(44100, checkpoint=ck, threshold=None)
+    assert vad.net.context == 2
+    assert vad.threshold == 0.35
+    assert ConvVAD(44100, checkpoint=ck, threshold=0.7).threshold == 0.7
+
+    # halo covers the dilated receptive field: kernel 5 at dilations 1,2
+    # spreads 6 frames per side
+    assert context_halo_s(2) * 16000 >= 6 * FRAME + 0.25 * 16000 - 1e-6
+
+    # host and device paths agree under the context architecture
+    rng = np.random.default_rng(3)
+    audio = (0.05 * rng.standard_normal(44100 * 3)).astype(np.float32)
+    p_host, _ = vad.speech_probs(audio)
+    p_dev, _ = vad.speech_probs_from_device(jnp.asarray(audio), audio.size)
+    n = min(p_host.size, p_dev.size)
+    assert n > 0
+    assert float(np.mean(np.abs(p_host[:n] - p_dev[:n]))) < 0.1
