@@ -254,6 +254,19 @@ def process_pure_vocal_split(
                 ),
                 word_intervals=wi_snap,
             )
+            # keep the manifest self-consistent: downstream bookkeeping
+            # (planner final_time_by_raw_time, guard shifts) keys on the
+            # SNAPPED times, and api._build_final_cuts joins selected
+            # candidates onto final cuts by that key — so the selected
+            # entries must carry the snapped time too (original kept as
+            # t_detected). raw_points[:len(selected)] is 1:1 with selected;
+            # music-span extras sit at the tail.
+            if boundary_detection and boundary_detection.get("selected"):
+                for entry, pt in zip(boundary_detection["selected"], raw_points):
+                    t_new = float(pt.t)
+                    if abs(t_new - float(entry.get("t", t_new))) > 1e-9:
+                        entry["t_detected"] = entry["t"]
+                        entry["t"] = t_new
 
     # -- guard finalisation -------------------------------------------------------
     from audio_cut_tpu.cutting.refine import QuietLookup

@@ -54,6 +54,10 @@ def main() -> int:
     ap.add_argument("--waveunet-checkpoint", default=None,
                     help="evaluate a CANDIDATE WaveUNet checkpoint instead "
                          "of the packaged one")
+    ap.add_argument("--vad-only", action="store_true",
+                    help="VAD candidate scoring fast path: run only the "
+                         "primary separator (for vad_f1_sep) + the VAD; "
+                         "skip spectral/waveunet SI-SNR and pause metrics")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -76,11 +80,11 @@ def main() -> int:
     set_runtime_config({"enhanced_separation.convtdf.checkpoint":
                         args.convtdf_checkpoint or "packaged"})
     convtdf = make_backend("convtdf", SR)
-    spectral = make_backend("spectral", SR)
+    spectral = make_backend("spectral", SR) if not args.vad_only else None
     from audio_cut_tpu.models.waveunet import packaged_checkpoint_path as wu_ckpt
 
     waveunet = None
-    if wu_ckpt() is not None or args.waveunet_checkpoint:
+    if not args.vad_only and (wu_ckpt() is not None or args.waveunet_checkpoint):
         set_runtime_config({"enhanced_separation.waveunet.checkpoint":
                             args.waveunet_checkpoint or "packaged"})
         waveunet = make_backend("waveunet", SR)
@@ -98,12 +102,13 @@ def main() -> int:
         mix, vocal = eval_pair(rng, n)
 
         v_tdf, _ = convtdf.separate(mix)
-        v_spec, _ = spectral.separate(mix)
         row = {
             "si_snr_convtdf": round(si_snr(v_tdf, vocal), 2),
-            "si_snr_spectral": round(si_snr(v_spec, vocal), 2),
             "si_snr_mix": round(si_snr(mix, vocal), 2),  # do-nothing floor
         }
+        if spectral is not None:
+            v_spec, _ = spectral.separate(mix)
+            row["si_snr_spectral"] = round(si_snr(v_spec, vocal), 2)
         if waveunet is not None:
             v_wu, _ = waveunet.separate(mix)
             row["si_snr_waveunet"] = round(si_snr(v_wu, vocal), 2)
@@ -118,7 +123,7 @@ def main() -> int:
         if act.size < mix.size:  # tail samples beyond the last frame: not a pause
             act = np.pad(act, (0, mix.size - act.size), constant_values=True)
         pause = ~act[: mix.size]
-        if pause.any():
+        if pause.any() and spectral is not None:
             e_mix = float(np.mean(mix[pause] ** 2)) + 1e-12
             def _resid_db(est):
                 return round(10.0 * np.log10(float(np.mean(est[pause] ** 2)) / e_mix + 1e-9), 1)
@@ -129,7 +134,9 @@ def main() -> int:
         for tag, wave in (("sep", v_tdf), ("clean", vocal)):
             probs, _fps = vad.speech_probs(wave)
             m = min(len(probs), len(true))
-            row[f"vad_f1_{tag}"] = round(f1(probs[:m] > 0.5, true[:m]), 3)
+            # score at the checkpoint's calibrated operating threshold
+            # (sidecar-driven; 0.5 for sidecar-less checkpoints)
+            row[f"vad_f1_{tag}"] = round(f1(probs[:m] > vad.threshold, true[:m]), 3)
         # energy-gate baseline on the same separated vocal
         rms = np.sqrt(np.convolve(v_tdf ** 2, np.ones(gt_hop) / gt_hop, "same"))[::gt_hop]
         db = 20 * np.log10(rms + 1e-9)
@@ -164,7 +171,7 @@ def main() -> int:
         Path(args.json).write_text(json.dumps(
             {"tracks": rows, "aggregate": agg, "ordering": ordering}, indent=2))
 
-    ok = (agg["si_snr_convtdf"] > agg["si_snr_spectral"]
+    ok = (agg["si_snr_convtdf"] > agg.get("si_snr_spectral", agg["si_snr_mix"])
           and agg["vad_f1_sep"] > agg["vad_f1_energy_gate"])
     print("OOD eval:", "PASS (trained models beat baselines out of distribution)"
           if ok else "FAIL (trained models do NOT beat baselines OOD)")
