@@ -94,6 +94,19 @@ BOOTSTRAP_GEOMETRY = dict(
 # channels/depth are the packaged contract recorded in the sidecar
 WAVEUNET_GEOMETRY = dict(window_samples=65536, channels=24, depth=4)
 
+# large-geometry checkpoint (round-5 capacity push, VERDICT r4 task #1):
+# same production spectral frame as the bootstrap, but at reference-class
+# capacity — the MDX23 Conv-TDF the reference serves is ~7.4 M params
+# (reference src/audio_cut/separation/backends.py:90); channels 32 / depth 3
+# / bottleneck 64 lands ~5 M params (~7x the bootstrap's 0.7 M), spending the
+# measured 99% idle MFU headroom (docs/profile_neural_r4.json) on quality.
+# dim_t 128 doubles the training window vs the bootstrap so GroupNorm's
+# (T,F)-statistics at train time sit closer to the dim_t-256 serving window.
+LARGE_GEOMETRY = dict(
+    n_fft=6144, hop=1024, dim_f=2048, dim_t=128,
+    channels=32, depth=3, tdf_bottleneck=64,
+)
+
 # tiny-geometry checkpoint for the ALWAYS-RUN CPU test tier: small enough
 # that the vpbd_asr PRD precision gate exercises the NEURAL path inside the
 # 5-minute loop (VERDICT r3 task #4). dim_t here is the training window; the
@@ -142,6 +155,10 @@ def main() -> int:
                     help="tiny CPU-tier geometry (TINY_GEOMETRY): trains the "
                          "packaged_tiny checkpoint that lets the always-run "
                          "CPU suite exercise the neural precision gate")
+    ap.add_argument("--large", action="store_true",
+                    help="reference-class capacity (LARGE_GEOMETRY, ~5 M "
+                         "params): the round-5 quality push; combine with "
+                         "--bootstrap-style rich families via --rich")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--pause-weight", type=float, default=None,
                     help="override TrainConfig.pause_loss_weight (pause-"
@@ -176,6 +193,11 @@ def main() -> int:
     ap.add_argument("--family", choices=("convtdf", "waveunet"), default="convtdf",
                     help="separator family: spectrogram mask net (default) "
                          "or the Demucs-role waveform U-Net second tier")
+    ap.add_argument("--datagen-threads", type=int, default=2,
+                    help="producer threads for the synthetic generators "
+                         "(training/prefetch.py); at the large geometry host "
+                         "datagen (~500 ms) otherwise serializes with the "
+                         "~350 ms TPU step. 0 disables prefetch.")
     ap.add_argument("--resume", default=None,
                     help="initialise params from an existing checkpoint "
                          "('packaged' or a path) for a fine-tuning leg; the "
@@ -234,6 +256,9 @@ def main() -> int:
     elif args.tiny:
         sep = ConvTDFSeparator(44100, **TINY_GEOMETRY)
         trainer = Trainer(sep, train_cfg)
+    elif args.large:
+        sep = ConvTDFSeparator(44100, **LARGE_GEOMETRY)
+        trainer = Trainer(sep, train_cfg)
     elif args.bootstrap:
         sep = ConvTDFSeparator(44100, **BOOTSTRAP_GEOMETRY)
         trainer = Trainer(sep, train_cfg)
@@ -260,22 +285,34 @@ def main() -> int:
         print(f"resumed params from {src}", flush=True)
 
     rng = np.random.default_rng(0)
-    if (args.bootstrap or args.tiny) and args.rich:
+    make_iter = None
+    if (args.bootstrap or args.tiny or args.large) and args.rich:
         from audio_cut_tpu.training.rich_data import rich_batches
 
-        batches = rich_batches(sep.window_samples, args.batch, rng,
-                               classic_frac=args.classic_frac,
-                               arrangement_frac=args.arrangement_frac,
-                               hard_frac=args.hard_frac)
-    elif args.bootstrap or args.tiny:
+        def make_iter(seed):
+            return rich_batches(sep.window_samples, args.batch,
+                                np.random.default_rng(seed),
+                                classic_frac=args.classic_frac,
+                                arrangement_frac=args.arrangement_frac,
+                                hard_frac=args.hard_frac)
+    elif args.bootstrap or args.tiny or args.large:
         from audio_cut_tpu.training.sep_data import synth_batches
 
-        batches = synth_batches(sep.window_samples, args.batch, rng,
-                                augment=args.augment)
+        def make_iter(seed):
+            return synth_batches(sep.window_samples, args.batch,
+                                 np.random.default_rng(seed),
+                                 augment=args.augment)
     elif args.synthetic or not args.data_dir:
         batches = synthetic_batches(sep.window_samples, args.batch, rng)
     else:
         batches = iter_batches(args.data_dir, sep.window_samples, args.batch, rng)
+    if make_iter is not None:
+        if args.datagen_threads > 0:
+            from audio_cut_tpu.training.prefetch import PrefetchBatches
+
+            batches = PrefetchBatches(make_iter, threads=args.datagen_threads)
+        else:
+            batches = make_iter(0)
 
     import time
 
@@ -309,7 +346,7 @@ def main() -> int:
         print(f"only {completed} steps completed — NOT saving {args.checkpoint}", flush=True)
         return 4
 
-    if args.bootstrap or args.tiny:
+    if args.bootstrap or args.tiny or args.large:
         eval_sep = sep
         if args.tiny:
             # evaluate at the SERVING window: the tiny training window
@@ -325,7 +362,7 @@ def main() -> int:
     if args.checkpoint:
         ckpt_path = Path(args.checkpoint).expanduser().resolve()
         trainer.save_checkpoint(str(ckpt_path))
-        if (args.bootstrap or args.tiny) and str(ckpt_path).endswith(".msgpack"):
+        if (args.bootstrap or args.tiny or args.large) and str(ckpt_path).endswith(".msgpack"):
             import json
 
             if args.family == "waveunet":
@@ -336,6 +373,10 @@ def main() -> int:
                 # not inherit the production dim_t 256-at-hop-1024 default
                 meta = {k: v for k, v in TINY_GEOMETRY.items() if k != "dim_t"}
                 meta["dim_t"] = TINY_SERVING_DIM_T
+            elif args.large:
+                # fully convolutional over T: serving window stays the config
+                # dim_t (256) — the sidecar pins only the net architecture
+                meta = {k: v for k, v in LARGE_GEOMETRY.items() if k != "dim_t"}
             else:
                 meta = {k: v for k, v in BOOTSTRAP_GEOMETRY.items() if k != "dim_t"}
             with open(str(ckpt_path) + ".json", "w") as f:
