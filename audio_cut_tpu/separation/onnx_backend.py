@@ -78,13 +78,36 @@ class OnnxSeparatorBackend:
         self.hop = int(cfg.get("hop", 1024))
         self.dim_f = int(cfg.get("dim_f", 2048))
         self.dim_t = int(cfg.get("dim_t", 256))
-        self.window_samples = self.hop * (self.dim_t - 1)
 
         path = discover_model(cfg.get("model_path"))
         graph = load_model(path)
         unsupported = validate_graph(graph)
         if unsupported:
             raise ValueError(f"ONNX model {path} uses unsupported ops: {unsupported}")
+
+        # geometry from the MODEL's input signature when it is static: the
+        # real Kim_Vocal_1 declares [B, 4, 3072, 256] (dim_f = n_fft/2 — NOT
+        # this framework's trained-model default of 2048), so trusting config
+        # over the file would feed mis-shaped spectrograms into the net's TDF
+        # Linear layers. Mirrors the reference reading the session's input
+        # signature (reference backends.py:248-253).
+        if graph.inputs:
+            shape = (graph.input_shapes or {}).get(graph.inputs[0]) or []
+            if len(shape) == 4 and shape[1] == 4:
+                model_f, model_t = shape[2], shape[3]
+                if isinstance(model_f, int) and model_f > 0 and model_f != self.dim_f:
+                    logger.info("ONNX model declares dim_f=%d (config said %d); "
+                                "using the model's", model_f, self.dim_f)
+                    self.dim_f = int(model_f)
+                if isinstance(model_t, int) and model_t > 0 and model_t != self.dim_t:
+                    logger.info("ONNX model declares dim_t=%d (config said %d); "
+                                "using the model's", model_t, self.dim_t)
+                    self.dim_t = int(model_t)
+        if self.dim_f > self.n_fft // 2 + 1:
+            raise ValueError(
+                f"model dim_f={self.dim_f} exceeds n_fft/2+1={self.n_fft // 2 + 1}; "
+                f"set enhanced_separation.onnx.n_fft to the model's STFT size")
+        self.window_samples = self.hop * (self.dim_t - 1)
         fn, params = build_jax_fn(graph)
         self._graph_fn = fn
         self.params = jax.device_put(params)
