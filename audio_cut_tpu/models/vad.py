@@ -93,9 +93,11 @@ HALO_S = 0.25
 
 def context_halo_s(context: int) -> float:
     """Per-side halo covering the frame-rate context block's receptive
-    field: kernel 5 at dilation 2^i spreads 2*2^i frames per side, 32 ms
-    each; 0.16 s per layer upper-bounds it for context <= 3."""
-    return HALO_S + 0.16 * int(context)
+    field exactly: kernel 5 at dilation 2^i spreads 2*2^i frames per side,
+    32 ms each, so the total per-side spread is 0.064*(2^context - 1) s
+    (geometric sum) — NOT linear in `context`; a linear estimate silently
+    under-covers for context >= 4 and reintroduces window-edge artifacts."""
+    return HALO_S + 0.064 * ((1 << int(context)) - 1)
 
 # packaged bootstrap checkpoint (trained by scripts/train_vad.py on the
 # synthetic voice-vs-music generator in training/vad_train.py)
@@ -341,12 +343,26 @@ def build_vad(sample_rate: int):
     if backend == "conv":
         ckpt = get_config("vad.checkpoint") or default_checkpoint_path()
         if ckpt:
-            key = (int(sample_rate), str(ckpt), threshold)
+            # key on the checkpoint+sidecar mtimes too: the sidecar's
+            # architecture/threshold are baked into the cached instance, so
+            # an in-place retrain during a long-lived process must miss
+            import os as _os
+
+            def _mtime(p):
+                try:
+                    return _os.stat(p).st_mtime_ns
+                except OSError:
+                    return 0
+
+            key = (int(sample_rate), str(ckpt), threshold,
+                   _mtime(str(ckpt)), _mtime(str(ckpt) + ".json"))
             cached = _VAD_CACHE.get(key)
             if cached is not None:
                 return cached
             try:
                 vad = ConvVAD(sample_rate, checkpoint=str(ckpt), threshold=threshold)
+                if len(_VAD_CACHE) >= 8:  # retrain-in-place churn bound
+                    _VAD_CACHE.pop(next(iter(_VAD_CACHE)))
                 _VAD_CACHE[key] = vad
                 return vad
             except Exception as exc:

@@ -49,10 +49,15 @@ def calibrate_threshold(params, net, rng, n_clips: int = 48):
     fwd = jax.jit(lambda p, x: jax.nn.sigmoid(net.apply({"params": p}, x)))
     probs = np.asarray(fwd(params, jnp.asarray(audio)))
     best_t, best_f1 = 0.5, -1.0
-    for t in np.arange(0.20, 0.81, 0.05):
+    grid = np.arange(0.05, 0.91, 0.05)
+    for t in grid:
         f1 = frame_f1(probs > t, truth)
         if f1 > best_f1:
             best_t, best_f1 = float(round(t, 2)), f1
+    if best_t in (round(float(grid[0]), 2), round(float(grid[-1]), 2)):
+        print(f"WARNING: calibrated threshold {best_t:.2f} sits on the grid "
+              "endpoint — the F1 maximum may lie outside [0.05, 0.90]",
+              flush=True)
     return best_t, best_f1
 
 
@@ -99,12 +104,15 @@ def main() -> None:
                          "checkpoint ('packaged' or a path) for fine-tuning")
     ap.add_argument("--max-minutes", type=float, default=0.0,
                     help="wall-clock budget; exits cleanly when exceeded")
-    ap.add_argument("--context", type=int, default=0,
+    ap.add_argument("--context", type=int, default=None,
                     help="dilated frame-rate context layers (receptive "
                          "field ~1 s at 3 — covers syllabic AM / vibrato "
-                         "periods the 48 ms encoder cannot see)")
-    ap.add_argument("--channels", type=int, default=32)
-    ap.add_argument("--depth", type=int, default=4)
+                         "periods the 48 ms encoder cannot see). Default: "
+                         "the --resume checkpoint's sidecar value, else 0")
+    ap.add_argument("--channels", type=int, default=None,
+                    help="default: --resume sidecar value, else 32")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="default: --resume sidecar value, else 4")
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
@@ -121,13 +129,13 @@ def main() -> None:
         mixed_vad_batch,
     )
 
-    trainer = VadTrainer(
-        VadTrainConfig(batch_size=16, clip_s=2.0, learning_rate=args.lr),
-        seed=0, channels=args.channels, depth=args.depth, context=args.context,
-    )
+    # resolve --resume FIRST: the source checkpoint's sidecar provides the
+    # architecture defaults (channels/depth/context), so `--resume packaged`
+    # fine-tunes the shipped artifact without the operator having to repeat
+    # its geometry on the CLI (explicit flags still win)
+    src = None
+    sidecar_arch = {}
     if args.resume:
-        from flax import serialization
-
         src = args.resume
         if src == "packaged":
             from audio_cut_tpu.models import vad as vad_mod
@@ -136,6 +144,23 @@ def main() -> None:
                                vad_mod.DEFAULT_CHECKPOINT)
             if not os.path.exists(src):
                 raise SystemExit("--resume packaged: no packaged ConvVAD found")
+        from audio_cut_tpu.models.vad import read_vad_sidecar
+
+        sidecar_arch = read_vad_sidecar(src)
+    channels = args.channels if args.channels is not None else int(sidecar_arch.get("channels", 32))
+    depth = args.depth if args.depth is not None else int(sidecar_arch.get("depth", 4))
+    context = args.context if args.context is not None else int(sidecar_arch.get("context", 0))
+    if sidecar_arch:
+        print(f"resume architecture: channels={channels} depth={depth} "
+              f"context={context} (sidecar defaults)", flush=True)
+
+    trainer = VadTrainer(
+        VadTrainConfig(batch_size=16, clip_s=2.0, learning_rate=args.lr),
+        seed=0, channels=channels, depth=depth, context=context,
+    )
+    if args.resume:
+        from flax import serialization
+
         with open(src, "rb") as f:
             trainer.params = serialization.from_bytes(trainer.params, f.read())
         trainer.opt_state = trainer.opt.init(trainer.params)
@@ -163,8 +188,8 @@ def main() -> None:
     if str(args.out).endswith(".msgpack"):
         import json
 
-        sidecar = {"channels": args.channels, "depth": args.depth,
-                   "context": args.context, "threshold": thr}
+        sidecar = {"channels": channels, "depth": depth,
+                   "context": context, "threshold": thr}
         with open(args.out + ".json", "w") as f:
             json.dump(sidecar, f, indent=1)
         print(f"sidecar {args.out}.json: {sidecar}")
