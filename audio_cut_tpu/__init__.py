@@ -31,6 +31,15 @@ def separate_and_segment(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def separate_and_segment_batch(*args, **kwargs):
+    """Lazy wrapper around :func:`audio_cut_tpu.api.separate_and_segment_batch`:
+    N tracks separated in one dp-sharded mesh pass, then detection/cutting
+    per track on host workers — one manifest per track."""
+    from audio_cut_tpu.api import separate_and_segment_batch as _impl
+
+    return _impl(*args, **kwargs)
+
+
 def __getattr__(name):
     # lazy heavyweight exports (importing them pulls in jax)
     if name == "SmartSplitter":
@@ -47,6 +56,7 @@ def __getattr__(name):
 __all__ = [
     "__version__",
     "separate_and_segment",
+    "separate_and_segment_batch",
     "SmartSplitter",
     "SeparationEngine",
     "AudioCutError",

@@ -118,6 +118,157 @@ def separate_and_segment(
     return manifest
 
 
+def separate_and_segment_batch(
+    *,
+    input_uris: Sequence[str],
+    export_dir: str,
+    mode: Optional[str] = None,
+    device: Optional[str] = None,
+    export_types: Optional[Sequence[str]] = None,
+    layout: Optional[Mapping[str, Any]] = None,
+    strict_gpu: Optional[bool] = None,
+    export_manifest: bool = True,
+    manifest_filename: str = "SegmentManifest.json",
+    runtime_overrides: Optional[Mapping[str, Any]] = None,
+    mesh: Any = None,
+    workers: Optional[int] = None,
+) -> List[Dict[str, Any]]:
+    """Process N tracks across the device mesh: one manifest per track.
+
+    The separation stage — where the FLOPs are — runs ONCE for the whole
+    batch, dp-sharded over every mesh device (parallel/batch.py::
+    separate_tracks_mesh; each track keeps its single-device OLA plan, so
+    stems are bit-identical to per-track runs). Detection/cutting/export
+    then run per track on host workers with the stems injected through the
+    engine seam (separation/precomputed.PrecomputedStemEngine) — cuts and
+    manifests match ``separate_and_segment`` exactly.
+
+    Output layout: ``export_dir/<input-stem>/`` per track (deduplicated with
+    numeric suffixes on name collisions), each with its own manifest.
+
+    The reference had no batch product path (one-pipeline-per-GPU,
+    sequential; SURVEY §2.11 / §7 step 10) — this is the mesh-native
+    replacement. Tracks that fail are reported in their manifest slot as
+    ``{"success": False, "error": ...}`` without aborting the batch.
+    """
+    import numpy as np
+
+    from audio_cut_tpu.io.audio import load_audio
+
+    paths = [Path(u).expanduser().resolve() for u in input_uris]
+    for p in paths:
+        if not p.exists():
+            raise FileNotFoundError(f"input audio not found: {p}")
+    export_root = Path(export_dir).expanduser().resolve()
+    export_root.mkdir(parents=True, exist_ok=True)
+
+    # per-track export subdirs: input stem, deduplicated
+    seen: Dict[str, int] = {}
+    subdirs: List[Path] = []
+    for p in paths:
+        name = p.stem
+        k = seen.get(name, 0)
+        seen[name] = k + 1
+        subdirs.append(export_root / (name if k == 0 else f"{name}_{k}"))
+
+    effective_mode = mode or "v2.2_mdd"
+
+    mgr = get_config_manager()
+    snapshot = copy.deepcopy(mgr.config)
+    manifests: List[Optional[Dict[str, Any]]] = [None] * len(paths)
+    try:
+        if device:
+            set_nested(mgr.config, "gpu_pipeline.prefer_device", device)
+        if strict_gpu is not None:
+            set_nested(mgr.config, "gpu_pipeline.strict_gpu", bool(strict_gpu))
+        if layout:
+            ld = dict(layout)
+            set_nested(mgr.config, "segment_layout.enable", bool(ld.pop("enable", True)))
+            for k, v in ld.items():
+                set_nested(mgr.config, f"segment_layout.{k}", v)
+        for dotted, value in (runtime_overrides or {}).items():
+            set_nested(mgr.config, dotted, value)
+        # separation already happened on the mesh; the per-track fused
+        # separation+detection program would redo it — use the staged
+        # bundle path over the injected stems (bit-equal by construction,
+        # separation/fused.py::_bundle_tail)
+        set_nested(mgr.config, "device_pipeline.fused_program", False)
+
+        layout_cfg = copy.deepcopy(get_nested(mgr.config, "segment_layout", {}) or {})
+        sample_rate = int(get_nested(mgr.config, "audio.sample_rate", 44100))
+        channels = int(get_nested(mgr.config, "audio.channels", 1))
+        backend_name = str(get_nested(
+            mgr.config, "enhanced_separation.backend", "spectral"))
+
+        audios = [load_audio(str(p), target_sr=sample_rate, mono=True)[0]
+                  for p in paths]
+
+        # ---- mesh stage: one dp-sharded separation pass over all tracks
+        stems: List[Optional[Any]] = [None] * len(paths)
+        if effective_mode != "librosa_onset" or bool(get_nested(
+                mgr.config, "librosa_onset.use_vocal_separation", True)):
+            from audio_cut_tpu.parallel.batch import separate_tracks_mesh
+
+            stems = separate_tracks_mesh(audios, sample_rate, mesh=mesh)
+
+        # ---- host stage: detection/cutting/export per track
+        from audio_cut_tpu.separation.precomputed import PrecomputedStemEngine
+
+        def run_one(i: int) -> Dict[str, Any]:
+            subdirs[i].mkdir(parents=True, exist_ok=True)
+            splitter = SmartSplitter(sample_rate=sample_rate)
+            if stems[i] is not None:
+                vocal, _inst = stems[i]
+                # instrumental stays None: modes reconstruct it as
+                # mix - vocal (complement invariant), exactly like the
+                # single-device path with need_instrumental=False
+                splitter._separator = PrecomputedStemEngine(
+                    sample_rate, vocal, None, backend_name,
+                    meta={"gpu_pipeline_mode": "mesh_batch_precomputed",
+                          "gpu_pipeline_batch_size": len(paths)},
+                )
+            result = splitter.split_audio_seamlessly(
+                str(paths[i]), str(subdirs[i]), mode=effective_mode,
+                export_plan=list(export_types) if export_types is not None else None,
+            )
+            manifest = _build_manifest(
+                result=result, input_path=paths[i], export_dir=subdirs[i],
+                mode=effective_mode, sample_rate=sample_rate,
+                channels=channels, layout_cfg=layout_cfg,
+            )
+            if export_manifest:
+                mpath = subdirs[i] / manifest_filename
+                mpath.write_text(json.dumps(manifest, ensure_ascii=False, indent=2),
+                                 encoding="utf-8")
+                manifest["manifest_path"] = mpath.as_posix()
+            return manifest
+
+        n_workers = max(1, int(workers)) if workers else 1
+        if n_workers == 1:
+            for i in range(len(paths)):
+                try:
+                    manifests[i] = run_one(i)
+                except Exception as exc:  # keep the batch going
+                    logger.error("batch track %s failed: %s", paths[i], exc)
+                    manifests[i] = {"success": False, "error": str(exc),
+                                    "input_file": str(paths[i])}
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                futs = {pool.submit(run_one, i): i for i in range(len(paths))}
+                for fut, i in futs.items():
+                    try:
+                        manifests[i] = fut.result()
+                    except Exception as exc:
+                        logger.error("batch track %s failed: %s", paths[i], exc)
+                        manifests[i] = {"success": False, "error": str(exc),
+                                        "input_file": str(paths[i])}
+    finally:
+        mgr.config = snapshot
+    return manifests  # type: ignore[return-value]
+
+
 # -- manifest -------------------------------------------------------------
 
 

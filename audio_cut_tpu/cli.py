@@ -31,6 +31,7 @@ examples:
   audio-cut input/song.wav --mode vocal_separation
   audio-cut input/song.wav --mode hybrid_mdd
   audio-cut warmup                 # pre-compile programs into the XLA cache
+  audio-cut batch a.wav b.wav -o out   # N tracks, one mesh separation pass
 """,
     )
     parser.add_argument("input_file", help="input audio path (WAV)")
@@ -123,8 +124,70 @@ def build_runtime_overrides(args: argparse.Namespace) -> Dict[str, Any]:
     return overrides
 
 
+def _batch_main(argv) -> int:
+    """`audio-cut batch` — process N tracks with ONE mesh separation pass.
+
+    The separation stage for the whole playlist runs dp-sharded across every
+    device in the mesh; detection/cutting/export then run per track on host
+    workers. Output: export_dir/<input-stem>/ per track, each with its own
+    SegmentManifest.json. Cuts match per-track `audio-cut` runs exactly.
+    """
+    parser = argparse.ArgumentParser(
+        prog="audio-cut batch",
+        description="batch processing: N tracks across the device mesh",
+    )
+    parser.add_argument("input_files", nargs="+", help="input audio paths (WAV)")
+    parser.add_argument("--output-dir", "-o", default=None,
+                        help="export root (default: output.directory config); "
+                             "one subdirectory per track")
+    parser.add_argument("--mode", choices=list(KNOWN_MODES), default=None)
+    parser.add_argument("--device", default=None)
+    parser.add_argument("--workers", type=int, default=1,
+                        help="host worker threads for the per-track "
+                             "detection/cutting stage")
+    parser.add_argument("--json", action="store_true",
+                        help="print one summary JSON line per track")
+    parser.add_argument("--verbose", "-v", action="store_true")
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+
+    from audio_cut_tpu.api import separate_and_segment_batch
+    from audio_cut_tpu.config import get_config
+
+    out_dir = args.output_dir or str(get_config("output.directory", "./output"))
+    manifests = separate_and_segment_batch(
+        input_uris=list(args.input_files),
+        export_dir=out_dir,
+        mode=args.mode,
+        device=args.device,
+        workers=args.workers,
+    )
+    n_ok = 0
+    for path, manifest in zip(args.input_files, manifests):
+        ok = bool(manifest.get("success"))
+        n_ok += ok
+        if args.json:
+            print(json.dumps({
+                "input": path, "success": ok,
+                "segments": (manifest.get("stats") or {}).get("num_segments"),
+                "manifest": manifest.get("manifest_path"),
+                "error": manifest.get("error"),
+            }, ensure_ascii=False))
+        else:
+            stats = manifest.get("stats") or {}
+            print(f"{path}: success={ok} segments={stats.get('num_segments')} "
+                  f"-> {manifest.get('manifest_path') or manifest.get('error')}")
+    print(f"batch: {n_ok}/{len(manifests)} tracks succeeded")
+    return 0 if n_ok == len(manifests) else 1
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] == "batch":
+        return _batch_main(argv[1:])
     if argv and argv[0] == "warmup":
         # `audio-cut warmup` — pre-compile the production XLA programs into
         # the persistent cache (cold-start story; reference PRD.md:61 latency

@@ -77,6 +77,146 @@ def separate_batch_sharded(
     return [(v[k, :lengths[k]], i[k, :lengths[k]]) for k in range(len(tracks))]
 
 
+def separate_tracks_mesh(
+    tracks: Sequence[np.ndarray],
+    sample_rate: int,
+    mesh=None,
+    backend: Optional[str] = None,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Batch separation for the full-pipeline multi-chip mode (SURVEY §7
+    step 10): N whole tracks separated across the mesh, each with the SAME
+    OLA plan a single-device run would use, so the stems — and therefore
+    every downstream detection/cut decision — match single-device runs
+    bit-for-bit.
+
+    Tracks are grouped by their bucket-padded length (PAD_BUCKET_S buckets,
+    so most same-ish-length tracks share one compiled program); each group's
+    windows are flattened across tracks and sharded over every mesh device,
+    each device overlap-adds its windows into a flat [g*padded_len] local
+    buffer at track-offset positions, and ONE ``psum`` assembles the whole
+    group. Communication: a single all-reduce per group on ICI.
+
+    Returns [(vocal, instrumental)] per track, trimmed to true lengths, in
+    input order.
+    """
+    import jax
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from audio_cut_tpu.config import get_config
+    from audio_cut_tpu.separation.backends import make_backend
+    from audio_cut_tpu.separation.engine import (
+        PAD_BUCKET_S,
+        SeparationEngine,
+        ola_plan,
+        quantize_upload,
+    )
+
+    if mesh is None:
+        mesh = make_mesh(dp=len(jax.devices()), sp=1, tp=1)
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    axes = tuple(mesh.axis_names)
+    sr = int(sample_rate)
+
+    if backend is None or isinstance(backend, str):
+        bk = make_backend(
+            backend or str(get_config("enhanced_separation.backend", "spectral")), sr
+        )
+    else:
+        bk = backend
+    if not hasattr(bk, "separate_windows_fn"):
+        raise ValueError(f"backend {bk.name!r} has no batched windows path")
+    eng = SeparationEngine(sr, backend=bk)
+    eng._ensure_geometry()
+    align = eng.align
+    bucket = int(round(PAD_BUCKET_S * sr))
+    int16_upload = bool(get_config("device_pipeline.upload_int16", True))
+
+    def padded_len_of(n: int) -> int:
+        p = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+        return ((p + align - 1) // align) * align
+
+    tracks = [np.asarray(t, dtype=np.float32) for t in tracks]
+    groups: dict = {}
+    for idx, t in enumerate(tracks):
+        groups.setdefault(padded_len_of(t.shape[-1]), []).append(idx)
+
+    out: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * len(tracks)
+    for padded_len, idxs in sorted(groups.items()):
+        plans, window, weights, inv_wsum = ola_plan(
+            padded_len, sr, eng.chunk_s, eng.overlap_s, eng.halo_s, align
+        )
+        n_win = len(plans)
+        g = len(idxs)
+
+        wins_all, weights_all, starts_all = [], [], []
+        for row, idx in enumerate(idxs):
+            audio = tracks[idx]
+            n = audio.shape[-1]
+            padded = np.pad(audio, (0, padded_len - n)) if padded_len != n else audio
+            if int16_upload:
+                # mirror the single-device engine's int16 upload quantization
+                raw, scale = quantize_upload(padded)
+                padded = raw.astype(np.float32) * scale
+            wins_all.append(np.stack(
+                [padded[p.start:p.start + window] for p in plans]))
+            weights_all.append(weights)
+            # absolute offsets into the flat [g*padded_len] group buffer;
+            # windows never cross a track boundary (start+window <= padded_len)
+            starts_all.append(np.asarray(
+                [row * padded_len + p.start for p in plans], dtype=np.int32))
+        wins = np.concatenate(wins_all)          # [g*n_win, window]
+        wts = np.concatenate(weights_all)
+        starts = np.concatenate(starts_all)
+
+        pad_w = (-(g * n_win)) % n_dev
+        if pad_w:
+            wins = np.concatenate([wins, np.zeros((pad_w, window), np.float32)])
+            wts = np.concatenate([wts, np.zeros((pad_w, window), np.float32)])
+            starts = np.concatenate([starts, np.zeros(pad_w, np.int32)])
+
+        flat_len = g * padded_len
+        win_spec = P(axes)
+        rep_spec = P()
+
+        def shard_fn(wins_l, weights_l, starts_l):
+            v_l, i_l = bk.separate_windows_fn(wins_l)
+            wv = v_l * weights_l
+            wi = i_l * weights_l
+
+            def ola(acc, xw):
+                w, s = xw
+                cur = jax.lax.dynamic_slice(acc, (s,), (window,))
+                return jax.lax.dynamic_update_slice(acc, cur + w, (s,)), None
+
+            zeros = jnp.zeros(flat_len, jnp.float32)
+            try:
+                zeros = jax.lax.pcast(zeros, axes, to="varying")
+            except AttributeError:
+                zeros = jax.lax.pvary(zeros, axes)
+            vocal_l, _ = jax.lax.scan(ola, zeros, (wv, starts_l))
+            inst_l, _ = jax.lax.scan(ola, zeros, (wi, starts_l))
+            return jax.lax.psum(vocal_l, axes), jax.lax.psum(inst_l, axes)
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(win_spec, win_spec, win_spec),
+            out_specs=(rep_spec, rep_spec),
+        )
+        with mesh:
+            v, i = jax.jit(fn)(jnp.asarray(wins), jnp.asarray(wts), jnp.asarray(starts))
+        v = np.asarray(v).reshape(g, padded_len) * inv_wsum
+        i = np.asarray(i).reshape(g, padded_len) * inv_wsum
+        for row, idx in enumerate(idxs):
+            n = tracks[idx].shape[-1]
+            out[idx] = (v[row, :n], i[row, :n])
+    return out  # type: ignore[return-value]
+
+
 def separate_track_sp_sharded(
     audio: np.ndarray,
     sample_rate: int,
