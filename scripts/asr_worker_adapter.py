@@ -20,8 +20,34 @@ import tempfile
 from pathlib import Path
 
 
+def _alias_confidence(item: dict) -> dict:
+    """FireRedASR2S emits `asr_confidence`; the timeline protocol reads
+    `confidence` (reference scripts/fireredasr2s_worker.py:111-126)."""
+    if isinstance(item, dict) and "confidence" not in item and "asr_confidence" in item:
+        item = dict(item)
+        item["confidence"] = item.pop("asr_confidence")
+    return item
+
+
 def convert_result_jsonl(lines) -> dict:
-    words, sentences = [], []
+    """ASR CLI result.jsonl -> worker payload for protocol.normalize_response.
+
+    Two shapes are accepted:
+
+    * the REAL FireRedASR2S format (reference scripts/fireredasr2s_worker.py:
+      17-44): ONE row per input wav carrying ``uttid``/``text``/``wav_path``/
+      ``dur_s``, ``words``/``sentences`` lists with ``start_ms``/``end_ms``/
+      ``text``/``(asr_)confidence``, and ``vad_segments_ms`` as either
+      ``[start_ms, end_ms]`` pairs or dicts;
+    * a generic per-utterance stream (one JSON object per line with ``text``
+      + ``start``/``end`` seconds) for other ASR CLIs.
+
+    Time units are NOT converted here — ``start_ms`` keys pass through and
+    protocol._time_s scales them; that keeps this adapter a pure shape
+    adapter with one normalization path.
+    """
+    words, sentences, vad_regions = [], [], []
+    meta = {}
     for raw in lines:
         raw = raw.strip()
         if not raw:
@@ -30,16 +56,36 @@ def convert_result_jsonl(lines) -> dict:
             item = json.loads(raw)
         except json.JSONDecodeError:
             continue
+        if not isinstance(item, dict):
+            continue
+        structured = any(k in item for k in ("words", "tokens", "sentences", "vad_segments_ms"))
         for w in item.get("words") or item.get("tokens") or []:
-            words.append(w)
-        if item.get("text") and item.get("start") is not None:
+            words.append(_alias_confidence(w))
+        for s in item.get("sentences") or []:
+            sentences.append(_alias_confidence(s))
+        for seg in item.get("vad_segments_ms") or []:
+            if isinstance(seg, dict):
+                vad_regions.append(_alias_confidence(seg))
+            elif isinstance(seg, (list, tuple)) and len(seg) >= 2:
+                vad_regions.append(
+                    {"start_ms": seg[0], "end_ms": seg[1], "kind": "singing"})
+        if item.get("text") and item.get("start") is not None and not structured:
+            # generic one-utterance-per-line stream
             sentences.append({
                 "text": item["text"],
                 "start": item.get("start"),
                 "end": item.get("end"),
                 "confidence": item.get("confidence"),
             })
-    return {"words": words, "sentences": sentences}
+        for key in ("uttid", "wav_path", "dur_s"):
+            if item.get(key) is not None and key not in meta:
+                meta[key] = item[key]
+    payload = {"words": words, "sentences": sentences, "vad_regions": vad_regions}
+    if meta:
+        payload["meta"] = meta
+        if meta.get("dur_s") is not None:
+            payload["duration_s"] = float(meta["dur_s"])
+    return payload
 
 
 def main() -> int:
