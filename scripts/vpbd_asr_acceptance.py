@@ -81,14 +81,17 @@ def synth_song_with_timeline(seed: int, duration_s: float):
     return audio, sr, timeline
 
 
-def run_song(seed: int, duration_s: float, td: Path) -> dict:
+def run_song(seed: int, duration_s: float, td: Path, prebuilt=None) -> dict:
     import numpy as np
 
     from audio_cut_tpu import separate_and_segment
     from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
     from audio_cut_tpu.io import write_wav
 
-    audio, sr, timeline = synth_song_with_timeline(seed, duration_s)
+    if prebuilt is not None:
+        audio, sr, timeline = prebuilt
+    else:
+        audio, sr, timeline = synth_song_with_timeline(seed, duration_s)
     song = td / f"song_{seed}.wav"
     write_wav(song, audio, sr, subtype="FLOAT")
     fixture = td / f"timeline_{seed}.json"
@@ -147,6 +150,13 @@ def main() -> int:
     ap.add_argument("--songs", type=int, default=8)
     ap.add_argument("--duration", type=float, default=24.0)
     ap.add_argument("--json", default=None, help="write full report JSON here")
+    ap.add_argument("--corpus", type=int, default=0, metavar="N",
+                    help="run over the FROZEN acceptance corpus "
+                         "(tests/fixtures/acceptance/corpus_v1.json, "
+                         "2-4 min full-arrangement tracks; VERDICT r4 "
+                         "task #6) instead of the quick built-in songs; "
+                         "N=0 means all manifest tracks, N>0 the first N. "
+                         "Each track's digest is verified before use.")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -154,17 +164,49 @@ def main() -> int:
 
     jax.config.update("jax_platforms", "cpu")
 
+    specs = None
+    if args.corpus or "--corpus" in sys.argv:
+        from audio_cut_tpu.training.corpus import (
+            corpus_track,
+            derive_timeline,
+            load_manifest,
+            track_digest,
+        )
+
+        manifest = load_manifest()
+        specs = manifest["tracks"][: args.corpus or None]
+
     rows = []
     with tempfile.TemporaryDirectory() as tds:
         td = Path(tds)
-        for k in range(args.songs):
-            row = run_song(1000 + 13 * k, args.duration, td)
-            rows.append(row)
-            print(f"song {row['seed']}: segs={row['num_segments']} "
-                  f"band={row['duration_band_rate']:.2f} "
-                  f"in-word={row['cut_inside_word_rate']:.2f} "
-                  f"quiet={row['natural_pause_rate']:.2f} "
-                  f"lyrics={row['lyrics_used']} guard={row['precision_guard_ok']}")
+        if specs is not None:
+            for spec in specs:
+                mix, vocal, sr = corpus_track(spec["seed"], spec["duration_s"])
+                if track_digest(mix) != spec["sha256_mix_i16"]:
+                    print(f"CORPUS DRIFT: {spec['id']} digest mismatch — the "
+                          "generator changed; refreeze the manifest deliberately")
+                    return 2
+                timeline = derive_timeline(vocal, sr)
+                row = run_song(spec["seed"], spec["duration_s"], td,
+                               prebuilt=(mix, sr, timeline))
+                row["id"] = spec["id"]
+                rows.append(row)
+                print(f"corpus {spec['id']} ({spec['duration_s']:.0f}s): "
+                      f"segs={row['num_segments']} "
+                      f"band={row['duration_band_rate']:.2f} "
+                      f"in-word={row['cut_inside_word_rate']:.2f} "
+                      f"quiet={row['natural_pause_rate']:.2f} "
+                      f"lyrics={row['lyrics_used']} guard={row['precision_guard_ok']}",
+                      flush=True)
+        else:
+            for k in range(args.songs):
+                row = run_song(1000 + 13 * k, args.duration, td)
+                rows.append(row)
+                print(f"song {row['seed']}: segs={row['num_segments']} "
+                      f"band={row['duration_band_rate']:.2f} "
+                      f"in-word={row['cut_inside_word_rate']:.2f} "
+                      f"quiet={row['natural_pause_rate']:.2f} "
+                      f"lyrics={row['lyrics_used']} guard={row['precision_guard_ok']}")
 
     n = len(rows)
     agg = {

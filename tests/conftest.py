@@ -50,6 +50,15 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "model" in item.keywords:
             item.add_marker(skip)
+    # acceptance tier: multi-minute full-pipeline runs over the frozen
+    # long-form corpus — CI-slow, opt-in (same convention as the model tier)
+    if not (os.environ.get("AUDIO_CUT_TPU_RUN_ACCEPTANCE")
+            or "acceptance" in marker_expr):
+        skip_acc = pytest.mark.skip(
+            reason="acceptance tier: set AUDIO_CUT_TPU_RUN_ACCEPTANCE=1 or -m acceptance")
+        for item in items:
+            if "acceptance" in item.keywords:
+                item.add_marker(skip_acc)
 
 
 @pytest.fixture()
