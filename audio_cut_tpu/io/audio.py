@@ -188,14 +188,13 @@ def write_asr_copy_from_device(
     import jax.numpy as jnp
 
     from audio_cut_tpu.io.wavio import write_wav_payload
-    from audio_cut_tpu.separation.engine import PAD_BUCKET_S
+    from audio_cut_tpu.separation.engine import padded_track_len
 
-    # bucket-pad so the jitted program re-specializes per 15 s bucket, not
-    # per exact track length; the zero tail's filter bleed lies beyond
-    # out_len, so slicing on the host is exact
+    # bucket-pad so the jitted program re-specializes per length bucket, not
+    # per exact track length (same buckets as the OLA program); the zero
+    # tail's filter bleed lies beyond out_len, so slicing on the host is exact
     n = int(audio_device.shape[-1])
-    bucket = int(round(PAD_BUCKET_S * sample_rate))
-    padded = max(bucket, -(-n // bucket) * bucket)
+    padded = padded_track_len(n, sample_rate)
     out_len = int(round(n * asr_sr / sample_rate))
     xp = jnp.pad(audio_device, (0, padded - n)) if padded != n else audio_device
     i16 = np.asarray(_asr_copy_fn(sample_rate, asr_sr)(xp))[:out_len]

@@ -110,9 +110,9 @@ def separate_tracks_mesh(
     from audio_cut_tpu.config import get_config
     from audio_cut_tpu.separation.backends import make_backend
     from audio_cut_tpu.separation.engine import (
-        PAD_BUCKET_S,
         SeparationEngine,
         ola_plan,
+        padded_track_len,
         quantize_upload,
     )
 
@@ -133,12 +133,10 @@ def separate_tracks_mesh(
     eng = SeparationEngine(sr, backend=bk)
     eng._ensure_geometry()
     align = eng.align
-    bucket = int(round(PAD_BUCKET_S * sr))
     int16_upload = bool(get_config("device_pipeline.upload_int16", True))
 
     def padded_len_of(n: int) -> int:
-        p = max(bucket, ((n + bucket - 1) // bucket) * bucket)
-        return ((p + align - 1) // align) * align
+        return padded_track_len(n, sr, align)
 
     tracks = [np.asarray(t, dtype=np.float32) for t in tracks]
     groups: dict = {}
@@ -259,9 +257,9 @@ def separate_track_sp_sharded(
     # engine's shared plan builder so the schedule/weights — and thus the
     # output — match the single-device engine bit-for-bit
     from audio_cut_tpu.separation.engine import (
-        PAD_BUCKET_S,
         SeparationEngine,
         ola_plan,
+        padded_track_len,
         quantize_upload,
     )
 
@@ -277,9 +275,7 @@ def separate_track_sp_sharded(
     eng._ensure_geometry()
     align = eng.align
 
-    bucket = int(round(PAD_BUCKET_S * sr))
-    padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
-    padded_len = ((padded_len + align - 1) // align) * align
+    padded_len = padded_track_len(n, sr, align)
     plans, window, weights, inv_wsum = ola_plan(
         padded_len, sr, eng.chunk_s, eng.overlap_s, eng.halo_s, align
     )

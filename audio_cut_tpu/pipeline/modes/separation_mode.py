@@ -57,14 +57,13 @@ def process_vocal_separation(
             pcm24_planes_to_float,
             pcm24_planes_to_payload,
         )
-        from audio_cut_tpu.separation.engine import PAD_BUCKET_S
+        from audio_cut_tpu.separation.engine import padded_track_len
 
-        # bucket-pad so the pack program re-specializes per 15 s bucket,
-        # not per exact track length (same rule as the ASR-copy program)
+        # bucket-pad so the pack program re-specializes per length bucket,
+        # not per exact track length (same buckets as the OLA program)
         vd = sep.vocal_device
         n = int(vd.shape[-1])
-        bucket = int(round(PAD_BUCKET_S * sr))
-        padded = max(bucket, -(-n // bucket) * bucket)
+        padded = padded_track_len(n, sr)
         if padded != n:
             vd = jnp.pad(vd, (0, padded - n))
         planes = np.asarray(pcm24_pack_fn()(vd))[:, :n]

@@ -69,6 +69,39 @@ def backend_cache_token(backend) -> int:
 # time) at twice the worst-case compile count.
 PAD_BUCKET_S = 15.0
 
+# beyond this track length, buckets widen to device_pipeline.
+# long_bucket_seconds (default 60 s): XLA's static shapes make distinct
+# compiled lengths the scarce resource for production song lengths — 15 s
+# granularity over 1-6 min would mean 19 OLA/bundle program families, each
+# a cold compile (and, over the axon relay, an ~80 s persistent-cache load;
+# docs/profile_neural_r4.json). 60 s buckets cut that to 5 and let ONE
+# `audio-cut warmup` length cover a whole song-length band. The padding
+# waste is bounded by <long_bucket of extra windows (≤+30% device compute at
+# 185 s -> 240 s) — at 200x+ realtime that costs milliseconds of latency,
+# while an uncovered bucket costs a cold compile measured in minutes.
+LONG_TRACK_S = 75.0
+
+
+def padded_track_len(n: int, sr: int, align: int = 1) -> int:
+    """Single source of truth for the bucket-padded whole-track length.
+
+    Every whole-track device program — the engine OLA, the fused
+    separation+detection program, and the sp/batch mesh paths — must agree
+    on this value bit-for-bit, or their outputs diverge (different OLA
+    plans). 15 s buckets up to LONG_TRACK_S, then long_bucket_seconds
+    buckets, then align-rounding for the backend's window schedule.
+    """
+    bucket = int(round(PAD_BUCKET_S * sr))
+    padded = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+    if padded > int(round(LONG_TRACK_S * sr)):
+        long_bucket = int(round(
+            float(get_config("device_pipeline.long_bucket_seconds", 60.0)) * sr))
+        if long_bucket > 0:
+            padded = ((n + long_bucket - 1) // long_bucket) * long_bucket
+    if align > 1:
+        padded = ((padded + align - 1) // align) * align
+    return padded
+
 
 @dataclass(frozen=True)
 class ChunkPlan:
@@ -705,9 +738,7 @@ class SeparationEngine:
         audio = np.asarray(audio, dtype=np.float32)
         n = audio.shape[-1]
         self._ensure_geometry()
-        bucket = int(round(PAD_BUCKET_S * self.sample_rate))
-        padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
-        padded_len = ((padded_len + self.align - 1) // self.align) * self.align
+        padded_len = padded_track_len(n, self.sample_rate, self.align)
 
         import jax
 

@@ -128,9 +128,9 @@ def separate_and_detect_fused(
         unpack_bundle,
     )
     from audio_cut_tpu.separation.engine import (
-        PAD_BUCKET_S,
         SeparationResult,
         _platform_of,
+        padded_track_len,
     )
 
     if not hasattr(engine.backend, "separate_windows_fn"):
@@ -142,9 +142,7 @@ def separate_and_detect_fused(
     audio = np.asarray(audio, dtype=np.float32)
     n = audio.shape[-1]
     sr = engine.sample_rate
-    bucket = int(round(PAD_BUCKET_S * sr))
-    padded_len = max(bucket, ((n + bucket - 1) // bucket) * bucket)
-    padded_len = ((padded_len + engine.align - 1) // engine.align) * engine.align
+    padded_len = padded_track_len(n, sr, engine.align)
     statics = bundle_statics(sr, guard_win_ms, refine_win_ms)
     fn, n_chunks, layout = _fused_fn(engine, padded_len, sr, statics, vad_model)
 

@@ -9,7 +9,9 @@ loads them from the persistent cache (utils/device.configure_jax) in ~1-2 s
 each: `audio-cut warmup`.
 
 What gets compiled: for each pad bucket in --durations (the engine pads
-tracks to 15 s buckets, separation/engine.PAD_BUCKET_S) the default-path
+tracks to 15 s buckets up to 75 s, then 60 s buckets —
+separation/engine.padded_track_len, so ONE long duration covers a whole
+song-length band) the default-path
 fused program family (separation OLA + detection bundle + ConvVAD), plus the
 device PCM-24 stem pack (vocal_separation) and the device ASR-copy resampler
 (vpbd_asr) on the longest bucket.
@@ -126,17 +128,29 @@ def warmup_main(argv=None) -> int:
                     "persistent cache so first-track latency on this machine "
                     "drops from minutes to seconds.",
     )
-    ap.add_argument("--durations", default="15,45,75",
+    ap.add_argument("--durations", default="15,75,180,240",
                     help="comma-separated synthetic track lengths (s); one "
-                         "compile per 15 s pad bucket (default: 15,45,75)")
+                         "compile per pad bucket — 15 s buckets up to 75 s, "
+                         "then device_pipeline.long_bucket_seconds (60 s) "
+                         "buckets, so the default covers short clips AND the "
+                         "whole 2-4 min production band (a 3:05 song shares "
+                         "the 240 s program)")
+    ap.add_argument("--fast", action="store_true",
+                    help="minimum warmup for the PRD first-track target: one "
+                         "short bucket + the 3-min bucket (durations 15,180), "
+                         "default mode only")
     ap.add_argument("--skip-extra-modes", action="store_true",
                     help="only the default v2.2_mdd family (skip the "
                          "vocal_separation pack + vpbd_asr copy programs)")
     ap.add_argument("--json", action="store_true", help="print a JSON report")
     args = ap.parse_args(argv)
 
-    durations = [float(x) for x in str(args.durations).split(",") if x.strip()]
-    report = run_warmup(durations, extra_modes=not args.skip_extra_modes)
+    if args.fast:
+        durations = [15.0, 180.0]
+        report = run_warmup(durations, extra_modes=False)
+    else:
+        durations = [float(x) for x in str(args.durations).split(",") if x.strip()]
+        report = run_warmup(durations, extra_modes=not args.skip_extra_modes)
     if args.json:
         print(json.dumps(report))
     else:

@@ -219,3 +219,32 @@ def test_fused_single_program_matches_staged(tmp_path):
     if vad_model is not None:
         assert np.allclose(bundle_f.vad_probs, bundle_s.vad_probs, atol=1e-5)
     assert sep_f.device_meta["gpu_pipeline_mode"] == "fused_single_program"
+
+
+def test_padded_track_len_buckets():
+    """Single source of truth for whole-track program lengths: 15 s buckets
+    up to 75 s, then long_bucket_seconds (default 60 s) buckets, then align."""
+    from audio_cut_tpu.config import reset_runtime_config, set_runtime_config
+    from audio_cut_tpu.separation.engine import padded_track_len
+
+    sr = 44100
+    s = lambda x: int(round(x * sr))
+    # short tracks: unchanged 15 s buckets
+    assert padded_track_len(s(1.0), sr) == s(15.0)
+    assert padded_track_len(s(15.0), sr) == s(15.0)
+    assert padded_track_len(s(16.0), sr) == s(30.0)
+    assert padded_track_len(s(74.0), sr) == s(75.0)
+    # long tracks: 60 s buckets (a 3:05 song shares the 240 s program)
+    assert padded_track_len(s(76.0), sr) == s(120.0)
+    assert padded_track_len(s(180.0), sr) == s(180.0)
+    assert padded_track_len(s(185.0), sr) == s(240.0)
+    assert padded_track_len(s(239.0), sr) == s(240.0)
+    # align rounding still applies
+    v = padded_track_len(s(185.0), sr, align=4096)
+    assert v % 4096 == 0 and v >= s(240.0)
+    # opt-out restores fine buckets everywhere
+    set_runtime_config({"device_pipeline.long_bucket_seconds": 0})
+    try:
+        assert padded_track_len(s(185.0), sr) == s(195.0)
+    finally:
+        reset_runtime_config()
