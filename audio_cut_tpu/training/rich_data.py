@@ -350,8 +350,60 @@ def _inst_dirty_bass(rng: np.random.Generator, n: int) -> np.ndarray:
     return (rng.uniform(0.1, 0.3) * x * gate).astype(np.float32)
 
 
+def _inst_pluck(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Plucked-string notes: additive harmonics with per-harmonic decay and
+    slight inharmonicity (stiff-string stretch), bright attack fading to the
+    fundamental. Covers the guitar/harp timbre hole in the band — the r5 OOD
+    eval showed the separator had never seen decaying plucked spectra."""
+    period = rng.uniform(0.25, 0.7)
+    root0 = rng.uniform(90, 330)
+    degrees = np.array([0, 3, 5, 7, 10, 12])
+    B = rng.uniform(1e-5, 4e-4)  # inharmonicity coefficient
+    out = np.zeros(n, np.float32)
+    for onset in np.arange(rng.uniform(0, period), n / SR - 0.05, period):
+        i = int(onset * SR)
+        pn = min(int(rng.uniform(0.5, 1.4) * SR), n - i)
+        if pn <= 0:
+            continue
+        tt = np.arange(pn) / SR
+        f0 = root0 * 2 ** (rng.choice(degrees) / 12.0)
+        note = np.zeros(pn)
+        for h in range(1, 9):
+            fh = f0 * h * np.sqrt(1 + B * h * h)
+            if fh > SR / 2 - 500:
+                break
+            # higher partials start hotter but die faster (pluck signature)
+            tau = rng.uniform(0.25, 0.6) / h
+            note += (1.0 / h ** 0.5) * np.exp(-tt / tau) * np.sin(
+                2 * np.pi * fh * tt + rng.uniform(0, 6.28))
+        out[i:i + pn] += (rng.uniform(0.08, 0.22) * note).astype(np.float32)
+    return out
+
+
+def _inst_detuned_pad(rng: np.random.Generator, n: int) -> np.ndarray:
+    """Thick detuned pad: 4-6 sawtooth-ish voices a few cents apart sitting
+    IN the vocal register (200-600 Hz), slow attack, chorus-like beating.
+    Instrumental analog of massed voices — no formants, no syllabic AM —
+    so the separator must use finer cues than register to reject it."""
+    t = np.arange(n) / SR
+    root = rng.uniform(200, 600)
+    out = np.zeros(n)
+    n_voices = int(rng.integers(4, 7))
+    for _ in range(n_voices):
+        cents = rng.uniform(-18, 18)
+        f = root * 2 ** (cents / 1200.0) * rng.choice([0.5, 1.0, 1.0, 1.5])
+        for h in range(1, 6):
+            out += (rng.uniform(0.015, 0.04) / h) * np.sin(
+                2 * np.pi * f * h * t + rng.uniform(0, 6.28))
+    attack = 1 - np.exp(-t / rng.uniform(0.3, 1.0))
+    swell = 0.7 + 0.3 * np.sin(2 * np.pi * rng.uniform(0.05, 0.2) * t
+                               + rng.uniform(0, 6.28))
+    return (out * attack * swell).astype(np.float32)
+
+
 _INST_CLASSES = (_inst_organ, _inst_brass, _inst_epiano, _inst_fmbell, _inst_toms,
-                 _inst_reeds, _inst_chiptune, _inst_claps, _inst_dirty_bass)
+                 _inst_reeds, _inst_chiptune, _inst_claps, _inst_dirty_bass,
+                 _inst_pluck, _inst_detuned_pad)
 
 
 def instrumental_stem_rich(rng: np.random.Generator, n: int) -> np.ndarray:
@@ -522,13 +574,34 @@ def synth_pair_rich(rng: np.random.Generator, n: int) -> Tuple[np.ndarray, np.nd
     return mix.astype(np.float32), vocal.astype(np.float32)
 
 
+def rebalance_vocal(rng: np.random.Generator, mix: np.ndarray,
+                    vocal: np.ndarray,
+                    vdb_lo: float = -14.0, vdb_hi: float = 4.0
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Rescale the VOCAL inside the mix by a uniform dB draw, re-normalizing
+    the pair to unit peak. The family generators all sit the vocal at or
+    above the band; production mixes (and the OOD eval's failing tracks)
+    bury it as low as -12 dB — a regime the separator otherwise never sees.
+    The label scales with the vocal, so the target stays consistent."""
+    g = 10.0 ** (rng.uniform(vdb_lo, vdb_hi) / 20.0)
+    inst = mix - vocal
+    vocal = vocal * g
+    mix = (inst + vocal).astype(np.float32)
+    peak = max(float(np.abs(mix).max()), 1e-6)
+    if peak > 1.0:
+        mix, vocal = mix / peak, vocal / peak
+    return mix.astype(np.float32), vocal.astype(np.float32)
+
+
 def rich_batches(window: int, batch: int, rng: np.random.Generator,
                  augment: bool = True, classic_frac: float = 0.3,
-                 arrangement_frac: float = 0.25, hard_frac: float = 0.4):
+                 arrangement_frac: float = 0.25, hard_frac: float = 0.4,
+                 rebalance_frac: float = 0.5):
     """Infinite (mix [B,S], vocal [B,S]) batches mixing classic, rich, and
     full-arrangement families, with channel augmentation (reverb/saturation/
     noise; `hard_frac` of pairs also draw the crowd-bed / shared-room-IR
-    effects)."""
+    effects; `rebalance_frac` of pairs rescale the vocal across a -14..+4 dB
+    band so buried vocals are in-distribution)."""
     from audio_cut_tpu.training.sep_data import synth_pair
 
     while True:
@@ -543,6 +616,8 @@ def rich_batches(window: int, batch: int, rng: np.random.Generator,
             else:
                 pair_fn = synth_pair_rich
             mixes[b], vocals[b] = pair_fn(rng, window)
+            if rng.random() < rebalance_frac:
+                mixes[b], vocals[b] = rebalance_vocal(rng, mixes[b], vocals[b])
             if augment:
                 aug = augment_pair_hard if rng.random() < hard_frac else augment_pair
                 mixes[b], vocals[b] = aug(rng, mixes[b], vocals[b])
