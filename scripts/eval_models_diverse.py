@@ -167,9 +167,23 @@ def main() -> int:
             ),
         }
         print("fallback ordering:", json.dumps(ordering, indent=2))
+    # promotion bar (VERDICT r4 task #1): the separator must IMPROVE every
+    # OOD track over doing nothing (SI-SNR > mix per-track), and keep pauses
+    # clean enough to drive the cut guards (mean pause residual <= -10 dB)
+    margins = [r["si_snr_convtdf"] - r["si_snr_mix"] for r in rows]
+    promotion = {
+        "min_track_margin_over_mix_db": round(float(min(margins)), 2),
+        "all_tracks_beat_mix": bool(min(margins) > 0),
+        "mean_si_snr_db": agg["si_snr_convtdf"],
+        "mean_pause_resid_db": agg.get("pause_resid_db_convtdf"),
+        "pause_resid_bar_met": bool(
+            agg.get("pause_resid_db_convtdf", 0.0) <= -10.0),
+    }
+    print("promotion bar:", json.dumps(promotion, indent=2))
     if args.json:
         Path(args.json).write_text(json.dumps(
-            {"tracks": rows, "aggregate": agg, "ordering": ordering}, indent=2))
+            {"tracks": rows, "aggregate": agg, "ordering": ordering,
+             "promotion": promotion}, indent=2))
 
     ok = (agg["si_snr_convtdf"] > agg.get("si_snr_spectral", agg["si_snr_mix"])
           and agg["vad_f1_sep"] > agg["vad_f1_energy_gate"])

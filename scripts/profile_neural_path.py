@@ -11,7 +11,7 @@ the derived MFU / HBM-bandwidth utilization against the chip's peak numbers
 (VERDICT r3 weak #7: wall-clock alone can't say how far the measured xRT sits
 from the chip ceiling, so the next perf push has no target).
 
-Writes JSON to docs/profile_neural_r4.json. Internal wall budget; always
+Writes JSON to --out (default docs/profile_neural_r5.json). Internal wall budget; always
 exits cleanly (never kill a TPU-attached process externally).
 """
 
@@ -79,6 +79,12 @@ def utilization(cost: dict, wall_s: float, peaks: dict) -> dict:
 
 
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/profile_neural_r5.json",
+                    help="output JSON artifact path")
+    args = ap.parse_args()
     sys.path.insert(0, os.getcwd())
     from audio_cut_tpu.utils.device import configure_jax
 
@@ -206,7 +212,7 @@ def main() -> int:
     out["stages"] = stages
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/profile_neural_r4.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     return 0
