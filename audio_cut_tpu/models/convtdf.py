@@ -317,7 +317,7 @@ class ConvTDFBackend:
         return both[0], both[1]
 
 
-PACKAGED_CHECKPOINT = "convtdf_bootstrap_v1.msgpack"
+PACKAGED_CHECKPOINT = "convtdf_large_v1.msgpack"
 PACKAGED_TINY_CHECKPOINT = "convtdf_tiny_v1.msgpack"
 
 
