@@ -119,15 +119,16 @@ class QuietLookup:
         offs = np.arange(span)
         win_idx = np.minimum(idx[:, None] + offs[None, :], n - 1)       # [K, span]
         win_db = self.rms_db[win_idx]
-        best_off = np.argmin(win_db, axis=1)
-        target_idx = idx + np.minimum(best_off, (n - 1) - idx)
-        target_db = self.rms_db[np.minimum(target_idx, n - 1)]
         orig_db = self.rms_db[idx]
-        accept = (
-            ((orig_db - target_db) >= guard_db)
-            & (target_db <= self.floor_db)
-            & (target_idx != idx)
-        )
+        # Nearest offset that already satisfies the quiet conditions, not the
+        # globally quietest one: the precision gate (avg<=150ms / p95<=220ms)
+        # budgets DISPLACEMENT, so once a point clears guard_db + floor there
+        # is nothing to gain by sliding further right. Offset 0 never
+        # qualifies (orig-orig < guard_db), so target != idx is implied.
+        qualify = ((orig_db[:, None] - win_db) >= guard_db) & (win_db <= self.floor_db)
+        accept = qualify.any(axis=1)
+        best_off = np.argmax(qualify, axis=1)                           # first True
+        target_idx = idx + np.minimum(best_off, (n - 1) - idx)
         out = np.where(accept, target_idx.astype(np.float64) / grid_sr, times)
         return out
 

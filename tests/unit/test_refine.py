@@ -152,3 +152,29 @@ def test_restore_noop_without_words():
         [4.5], [_adj(4.0, 4.5)], [], duration_s=20.0, sr=44100, min_gap_s=1.0,
     )
     assert n == 0 and adjs is None and times == [4.5]
+
+
+def test_guard_right_prefers_nearest_qualifying_point():
+    """The guard budgets DISPLACEMENT (precision gate avg<=150/p95<=220 ms):
+    once an offset clears guard_db + floor, a quieter-but-farther point must
+    not win. Two quiet zones right of the cut — the near one qualifies, the
+    far one is even quieter; the guard must land in the near one."""
+    from audio_cut_tpu.cutting.refine import QuietLookup
+
+    sr = 44100
+    audio = np.ones(sr * 4, dtype=np.float32) * 0.5
+    audio[int(2.06 * sr):int(2.12 * sr)] = 1e-5   # near quiet zone (~60ms away)
+    audio[int(2.30 * sr):int(2.40 * sr)] = 1e-7   # far, quieter zone (~300ms away)
+    look = QuietLookup(audio, sr, window_ms=10.0, floor_db=-40.0)
+    out = look.guard_right(np.array([2.0]), max_shift_ms=450.0, guard_db=1.5)
+    shift_ms = (out[0] - 2.0) * 1000.0
+    assert 30.0 < shift_ms < 160.0, f"expected the near zone, shifted {shift_ms:.1f}ms"
+
+
+def test_guard_right_stays_put_when_nothing_qualifies():
+    sr = 44100
+    audio = np.ones(sr * 2, dtype=np.float32) * 0.5  # uniformly loud
+    from audio_cut_tpu.cutting.refine import QuietLookup
+    look = QuietLookup(audio, sr, window_ms=10.0, floor_db=-40.0)
+    out = look.guard_right(np.array([1.0]), max_shift_ms=450.0, guard_db=1.5)
+    assert out[0] == 1.0
