@@ -123,9 +123,9 @@ class QuietLookup:
         # Nearest offset that already satisfies the quiet conditions, not the
         # globally quietest one: the precision gate (avg<=150ms / p95<=220ms)
         # budgets DISPLACEMENT, so once a point clears guard_db + floor there
-        # is nothing to gain by sliding further right. Offset 0 never
-        # qualifies (orig-orig < guard_db), so target != idx is implied.
+        # is nothing to gain by sliding further right.
         qualify = ((orig_db[:, None] - win_db) >= guard_db) & (win_db <= self.floor_db)
+        qualify[:, 0] = False  # staying put is "no adjustment", not a grid-snapped move
         accept = qualify.any(axis=1)
         best_off = np.argmax(qualify, axis=1)                           # first True
         target_idx = idx + np.minimum(best_off, (n - 1) - idx)
