@@ -31,8 +31,11 @@ _RMS_FRAME = 2048
 
 # audio lengths are padded up to a multiple of this many seconds so jit
 # recompiles stay bounded (log-bucketing would be fine too). 15 s matches
-# the separation engine's PAD_BUCKET_S so the OLA output handle feeds the
-# detection bundle without re-padding, and halves padding waste vs 30 s.
+# the separation engine's SHORT-track bucket (PAD_BUCKET_S); past
+# LONG_TRACK_S the engine widens to 60 s buckets + align, so paths that
+# must match the engine's compiled lengths bit-for-bit (the detection
+# bundle over engine/mesh handles) pad with engine.padded_track_len
+# instead — this helper serves the host-side feature fallback only.
 _BUCKET_S = 15.0
 
 

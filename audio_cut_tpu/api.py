@@ -200,16 +200,44 @@ def separate_and_segment_batch(
         backend_name = str(get_nested(
             mgr.config, "enhanced_separation.backend", "spectral"))
 
-        audios = [load_audio(str(p), target_sr=sample_rate, mono=True)[0]
-                  for p in paths]
+        # per-track load: a corrupt file fills its manifest slot, never
+        # aborts the batch (contract in the docstring above)
+        audios: List[Optional[Any]] = [None] * len(paths)
+        for i, p in enumerate(paths):
+            try:
+                audios[i] = load_audio(str(p), target_sr=sample_rate, mono=True)[0]
+            except Exception as exc:
+                logger.error("batch track %s failed to load: %s", p, exc)
+                manifests[i] = {"success": False, "error": str(exc),
+                                "input_file": str(p)}
 
         # ---- mesh stage: one dp-sharded separation pass over all tracks
         stems: List[Optional[Any]] = [None] * len(paths)
-        if effective_mode != "librosa_onset" or bool(get_nested(
-                mgr.config, "librosa_onset.use_vocal_separation", True)):
+        stem_align = 1
+        live = [i for i in range(len(paths)) if audios[i] is not None]
+        if live and (effective_mode != "librosa_onset" or bool(get_nested(
+                mgr.config, "librosa_onset.use_vocal_separation", True))):
             from audio_cut_tpu.parallel.batch import separate_tracks_mesh
+            from audio_cut_tpu.separation.backends import make_backend
+            from audio_cut_tpu.separation.engine import SeparationEngine
 
-            stems = separate_tracks_mesh(audios, sample_rate, mesh=mesh)
+            # ONE backend instance serves both the mesh pass and the host
+            # stage's padding geometry: PrecomputedStemEngine must pad with
+            # the same padded_track_len(n, sr, align) the mesh used, or the
+            # detection bundle runs at a different compiled length than a
+            # single-device run (15 s pad_to_bucket diverges from the
+            # engine's long-track buckets past LONG_TRACK_S) and cuts drift.
+            bk = make_backend(backend_name, sample_rate)
+            probe = SeparationEngine(sample_rate, backend=bk)
+            probe._ensure_geometry()
+            stem_align = probe.align
+            mesh_stems = separate_tracks_mesh(
+                [audios[i] for i in live], sample_rate, mesh=mesh, backend=bk)
+            for i, pair in zip(live, mesh_stems):
+                # instrumental stays unused downstream (modes reconstruct
+                # it as mix - vocal); drop it now instead of holding every
+                # track's second full-length stem in host RAM
+                stems[i] = (pair[0], None) if pair is not None else None
 
         # ---- host stage: detection/cutting/export per track
         from audio_cut_tpu.separation.precomputed import PrecomputedStemEngine
@@ -219,13 +247,11 @@ def separate_and_segment_batch(
             splitter = SmartSplitter(sample_rate=sample_rate)
             if stems[i] is not None:
                 vocal, _inst = stems[i]
-                # instrumental stays None: modes reconstruct it as
-                # mix - vocal (complement invariant), exactly like the
-                # single-device path with need_instrumental=False
                 splitter._separator = PrecomputedStemEngine(
                     sample_rate, vocal, None, backend_name,
                     meta={"gpu_pipeline_mode": "mesh_batch_precomputed",
                           "gpu_pipeline_batch_size": len(paths)},
+                    align=stem_align,
                 )
             result = splitter.split_audio_seamlessly(
                 str(paths[i]), str(subdirs[i]), mode=effective_mode,
@@ -243,9 +269,10 @@ def separate_and_segment_batch(
                 manifest["manifest_path"] = mpath.as_posix()
             return manifest
 
+        pending = [i for i in range(len(paths)) if manifests[i] is None]
         n_workers = max(1, int(workers)) if workers else 1
         if n_workers == 1:
-            for i in range(len(paths)):
+            for i in pending:
                 try:
                     manifests[i] = run_one(i)
                 except Exception as exc:  # keep the batch going
@@ -256,7 +283,7 @@ def separate_and_segment_batch(
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=n_workers) as pool:
-                futs = {pool.submit(run_one, i): i for i in range(len(paths))}
+                futs = {pool.submit(run_one, i): i for i in pending}
                 for fut, i in futs.items():
                     try:
                         manifests[i] = fut.result()

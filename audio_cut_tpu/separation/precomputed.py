@@ -27,9 +27,13 @@ class PrecomputedStemEngine:
     """SeparationEngine-compatible wrapper over already-computed stems.
 
     Host-resident by design: the batch path downloads each track's stems
-    once from the mesh pass; downstream envelope programs re-upload what
-    they need (the detection bundle pads + uploads host arrays when no
-    device handles are present, pure_vocal._build_bundle).
+    once from the mesh pass; ``separate_for_detection`` re-uploads them as
+    device handles padded to the engine's ``padded_track_len`` (same
+    ``align`` the mesh pass used), so the detection bundle compiles and
+    runs at exactly the lengths a single-device engine run would — the
+    cut-parity contract requires bit-equal bundle inputs, and the 15 s
+    ``pad_to_bucket`` rule diverges from the engine's long-track buckets
+    beyond LONG_TRACK_S.
     """
 
     def __init__(
@@ -39,8 +43,10 @@ class PrecomputedStemEngine:
         instrumental: Optional[np.ndarray],
         backend_name: str,
         meta: Optional[Dict] = None,
+        align: int = 1,
     ) -> None:
         self.sample_rate = int(sample_rate)
+        self.align = int(align)
         self._vocal = np.asarray(vocal, dtype=np.float32)
         self._inst = (
             np.asarray(instrumental, dtype=np.float32)
@@ -65,11 +71,19 @@ class PrecomputedStemEngine:
             separation_confidence=_estimate_confidence(audio, vocal),
             device_meta=dict(self._meta),
         )
-        result.mix_device = self._quantized_mix_device(audio, self.sample_rate)
+        result.mix_device = self._mix_device(audio)
+        result.vocal_device = self._vocal_device(n)
         return result
 
-    @staticmethod
-    def _quantized_mix_device(audio: np.ndarray, sr: int):
+    def _padded(self, x: np.ndarray, n: int) -> np.ndarray:
+        from audio_cut_tpu.separation.engine import padded_track_len
+
+        target = padded_track_len(n, self.sample_rate, self.align)
+        if x.shape[-1] >= target:
+            return x[..., :target]
+        return np.pad(x, (0, target - x.shape[-1]))
+
+    def _mix_device(self, audio: np.ndarray):
         """Bucket-padded mix exactly as the engine's OLA program would see it.
 
         The engine uploads the mix through int16 quantization
@@ -87,9 +101,19 @@ class PrecomputedStemEngine:
             return None
         import jax.numpy as jnp
 
-        from audio_cut_tpu.analysis.features import pad_to_bucket
         from audio_cut_tpu.separation.engine import quantize_upload
 
-        padded = pad_to_bucket(audio, sr)
-        raw, scale = quantize_upload(padded)
+        raw, scale = quantize_upload(self._padded(audio, audio.shape[-1]))
         return jnp.asarray(raw.astype(np.float32) * scale)
+
+    def _vocal_device(self, n: int):
+        """Vocal stem padded to the engine length, as the OLA output handle.
+
+        The mesh pass already produced these exact values (float OLA
+        output, never quantized — engine.py leaves the separated stem in
+        HBM as-is); re-uploading the trimmed host copy padded back to
+        ``padded_track_len`` reproduces that handle bit-for-bit.
+        """
+        import jax.numpy as jnp
+
+        return jnp.asarray(self._padded(self._vocal[:n], n))

@@ -134,6 +134,49 @@ def test_batch_cli_verb(tmp_path, capsys):
         assert Path(entry["manifest"]).exists()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_batch_long_track_parity(tmp_path):
+    """Cut parity past LONG_TRACK_S, where the engine's 60 s long buckets
+    diverge from the 15 s pad_to_bucket rule: the batch host stage must pad
+    the detection-bundle inputs with the engine's padded_track_len (it once
+    used pad_to_bucket, so an 80 s track ran its bundle over 90 s in batch
+    mode vs 120 s single-device — different tempo grid, different cuts)."""
+    from audio_cut_tpu.api import separate_and_segment, separate_and_segment_batch
+
+    song = _song(80.0, 11, [(20.0, 0.8), (41.0, 0.7), (62.0, 0.9)])
+    p = tmp_path / "long.wav"
+    write_wav(str(p), song, SR)
+    mesh = make_mesh(jax.devices()[:8], dp=8, sp=1, tp=1)
+
+    mb = separate_and_segment_batch(
+        input_uris=[str(p)], export_dir=str(tmp_path / "b"), mesh=mesh)[0]
+    ms = separate_and_segment(
+        input_uri=str(p), export_dir=str(tmp_path / "s"))
+    assert mb["success"] and ms["success"]
+    assert _cuts(mb) == _cuts(ms), "long-track batch cuts diverge"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_batch_bad_file_fills_slot_without_aborting(tmp_path):
+    """A corrupt input reports {'success': False} in its own slot; every
+    other track still gets its manifest (the documented batch contract)."""
+    from audio_cut_tpu.api import separate_and_segment_batch
+
+    good = tmp_path / "good.wav"
+    write_wav(str(good), _song(10.0, 12, [(4.0, 0.6)]), SR)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFnot-actually-a-wav")
+    mesh = make_mesh(jax.devices()[:8], dp=8, sp=1, tp=1)
+
+    manifests = separate_and_segment_batch(
+        input_uris=[str(good), str(bad)],
+        export_dir=str(tmp_path / "out"), mesh=mesh)
+    assert manifests[0]["success"] is True
+    assert manifests[1]["success"] is False
+    assert "bad.wav" in manifests[1]["input_file"]
+    assert manifests[1]["error"]
+
+
 def test_batch_name_collisions(tmp_path):
     """Same-stem inputs in different dirs get deduplicated subdirs."""
     from audio_cut_tpu.api import separate_and_segment_batch
