@@ -23,6 +23,27 @@ from audio_cut_tpu.pipeline.splitter import SmartSplitter
 logger = logging.getLogger(__name__)
 
 
+def _apply_call_overrides(mgr, *, device, strict_gpu, layout, overrides) -> None:
+    """Apply one call's device/layout/dotted overrides onto ``mgr.config``.
+
+    Shared by ``separate_and_segment`` and ``separate_and_segment_batch`` so
+    single and batch runs of the same track resolve IDENTICAL configs (the
+    batch cut-parity contract). Callers snapshot/restore ``mgr.config``
+    around the call.
+    """
+    if device:
+        set_nested(mgr.config, "gpu_pipeline.prefer_device", device)
+    if strict_gpu is not None:
+        set_nested(mgr.config, "gpu_pipeline.strict_gpu", bool(strict_gpu))
+    if layout:
+        ld = dict(layout)
+        set_nested(mgr.config, "segment_layout.enable", bool(ld.pop("enable", True)))
+        for k, v in ld.items():
+            set_nested(mgr.config, f"segment_layout.{k}", v)
+    for dotted, value in (overrides or {}).items():
+        set_nested(mgr.config, dotted, value)
+
+
 def separate_and_segment(
     *,
     input_uri: str,
@@ -66,17 +87,8 @@ def separate_and_segment(
     snapshot = copy.deepcopy(mgr.config)
     intent_echo: Optional[Dict[str, Any]] = None
     try:
-        if device:
-            set_nested(mgr.config, "gpu_pipeline.prefer_device", device)
-        if strict_gpu is not None:
-            set_nested(mgr.config, "gpu_pipeline.strict_gpu", bool(strict_gpu))
-        if layout:
-            ld = dict(layout)
-            set_nested(mgr.config, "segment_layout.enable", bool(ld.pop("enable", True)))
-            for k, v in ld.items():
-                set_nested(mgr.config, f"segment_layout.{k}", v)
-        for dotted, value in overrides.items():
-            set_nested(mgr.config, dotted, value)
+        _apply_call_overrides(mgr, device=device, strict_gpu=strict_gpu,
+                              layout=layout, overrides=overrides)
 
         layout_cfg = copy.deepcopy(get_nested(mgr.config, "segment_layout", {}) or {})
         sample_rate = int(get_nested(mgr.config, "audio.sample_rate", 44100))
@@ -177,17 +189,8 @@ def separate_and_segment_batch(
     snapshot = copy.deepcopy(mgr.config)
     manifests: List[Optional[Dict[str, Any]]] = [None] * len(paths)
     try:
-        if device:
-            set_nested(mgr.config, "gpu_pipeline.prefer_device", device)
-        if strict_gpu is not None:
-            set_nested(mgr.config, "gpu_pipeline.strict_gpu", bool(strict_gpu))
-        if layout:
-            ld = dict(layout)
-            set_nested(mgr.config, "segment_layout.enable", bool(ld.pop("enable", True)))
-            for k, v in ld.items():
-                set_nested(mgr.config, f"segment_layout.{k}", v)
-        for dotted, value in (runtime_overrides or {}).items():
-            set_nested(mgr.config, dotted, value)
+        _apply_call_overrides(mgr, device=device, strict_gpu=strict_gpu,
+                              layout=layout, overrides=runtime_overrides)
         # separation already happened on the mesh; the per-track fused
         # separation+detection program would redo it — use the staged
         # bundle path over the injected stems (bit-equal by construction,

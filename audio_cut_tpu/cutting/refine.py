@@ -125,10 +125,14 @@ class QuietLookup:
         # budgets DISPLACEMENT, so once a point clears guard_db + floor there
         # is nothing to gain by sliding further right.
         qualify = ((orig_db[:, None] - win_db) >= guard_db) & (win_db <= self.floor_db)
-        qualify[:, 0] = False  # staying put is "no adjustment", not a grid-snapped move
+        # staying put is "no adjustment", not a grid-snapped move: this kills
+        # offset 0 AND every end-of-array column that clamps back onto idx
+        # (a cut on the last grid frame with guard_db<=0 used to "accept" a
+        # zero-length move and get quantized onto the dB grid)
+        qualify &= win_idx != idx[:, None]
         accept = qualify.any(axis=1)
         best_off = np.argmax(qualify, axis=1)                           # first True
-        target_idx = idx + np.minimum(best_off, (n - 1) - idx)
+        target_idx = np.minimum(idx + best_off, n - 1)
         out = np.where(accept, target_idx.astype(np.float64) / grid_sr, times)
         return out
 

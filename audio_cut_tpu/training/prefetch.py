@@ -48,6 +48,7 @@ class PrefetchBatches:
             raise ValueError("threads must be >= 1")
         self._q: "queue.Queue[Batch]" = queue.Queue(maxsize=max(depth, threads))
         self._stop = threading.Event()
+        self._error: BaseException | None = None
         self._threads = []
         for i in range(threads):
             t = threading.Thread(
@@ -57,21 +58,37 @@ class PrefetchBatches:
             self._threads.append(t)
 
     def _produce(self, make_iter, seed: int) -> None:
-        it = make_iter(seed)
-        while not self._stop.is_set():
-            batch = next(it)
+        # a generator exception must reach the train loop, not die silently
+        # in a daemon thread: with every producer dead the consumer's
+        # blocking get() would hang a TPU-attached run for its whole
+        # --max-minutes budget producing nothing
+        try:
+            it = make_iter(seed)
             while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = next(it)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as exc:  # noqa: BLE001 - re-raised by __next__
+            self._error = exc
+            self._stop.set()
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Batch:
-        return self._q.get()
+        while True:
+            try:
+                return self._q.get(timeout=0.5)
+            except queue.Empty:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "batch prefetch producer died") from self._error
+                if self._stop.is_set():
+                    raise StopIteration
 
     def close(self) -> None:
         self._stop.set()

@@ -128,13 +128,15 @@ def warmup_main(argv=None) -> int:
                     "persistent cache so first-track latency on this machine "
                     "drops from minutes to seconds.",
     )
-    ap.add_argument("--durations", default="15,75,180,240",
+    ap.add_argument("--durations", default="15,75,120,180,240",
                     help="comma-separated synthetic track lengths (s); one "
                          "compile per pad bucket — 15 s buckets up to 75 s, "
                          "then device_pipeline.long_bucket_seconds (60 s) "
-                         "buckets, so the default covers short clips AND the "
-                         "whole 2-4 min production band (a 3:05 song shares "
-                         "the 240 s program)")
+                         "buckets. The default covers short clips and every "
+                         "long bucket of the 1:16-4:00 production band (a "
+                         "3:05 song shares the 240 s program; 1:16-2:00 "
+                         "songs the 120 s one). Mid-short buckets (30/45/60) "
+                         "stay cold unless listed here")
     ap.add_argument("--fast", action="store_true",
                     help="minimum warmup for the PRD first-track target: one "
                          "short bucket + the 3-min bucket (durations 15,180), "

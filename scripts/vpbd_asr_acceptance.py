@@ -150,13 +150,15 @@ def main() -> int:
     ap.add_argument("--songs", type=int, default=8)
     ap.add_argument("--duration", type=float, default=24.0)
     ap.add_argument("--json", default=None, help="write full report JSON here")
-    ap.add_argument("--corpus", type=int, default=0, metavar="N",
+    ap.add_argument("--corpus", type=int, nargs="?", const=0, default=None,
+                    metavar="N",
                     help="run over the FROZEN acceptance corpus "
                          "(tests/fixtures/acceptance/corpus_v1.json, "
                          "2-4 min full-arrangement tracks; VERDICT r4 "
                          "task #6) instead of the quick built-in songs; "
-                         "N=0 means all manifest tracks, N>0 the first N. "
-                         "Each track's digest is verified before use.")
+                         "bare --corpus (or N=0) means all manifest tracks, "
+                         "N>0 the first N. Each track's digest is verified "
+                         "before use.")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -165,7 +167,7 @@ def main() -> int:
     jax.config.update("jax_platforms", "cpu")
 
     specs = None
-    if args.corpus or "--corpus" in sys.argv:
+    if args.corpus is not None:
         from audio_cut_tpu.training.corpus import (
             corpus_track,
             derive_timeline,

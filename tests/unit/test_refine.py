@@ -178,3 +178,20 @@ def test_guard_right_stays_put_when_nothing_qualifies():
     look = QuietLookup(audio, sr, window_ms=10.0, floor_db=-40.0)
     out = look.guard_right(np.array([1.0]), max_shift_ms=450.0, guard_db=1.5)
     assert out[0] == 1.0
+
+
+def test_guard_right_no_inplace_snap_at_array_end():
+    """A cut on the LAST grid frame with guard_db=0 over a quiet tail: every
+    rightward offset clamps back onto the same frame, so nothing actually
+    moves — the time must come back untouched, not quantized onto the dB
+    grid (the end-of-array variant of the offset-0 in-place snap)."""
+    from audio_cut_tpu.cutting.refine import QuietLookup
+
+    sr = 44100
+    audio = np.full(sr * 2, 1e-6, dtype=np.float32)  # quiet everywhere
+    look = QuietLookup(audio, sr, window_ms=10.0, floor_db=-40.0,
+                       db_grid=np.full(200, -90.0), stride=441)
+    grid_sr = sr / 441
+    t = 199.4 / grid_sr  # rounds to the last grid index, off-grid time
+    out = look.guard_right(np.array([t]), max_shift_ms=450.0, guard_db=0.0)
+    assert out[0] == t, f"in-place snap at array end: {t} -> {out[0]}"
