@@ -163,6 +163,21 @@ class ConvTDFSeparator:
         vocal = self.synthesize(spec, mask, length)
         return vocal, audio[..., :length] - vocal
 
+    def separate_shifted_fn(
+        self, params: Any, audio: jnp.ndarray, length: int, shifts: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sub-hop shift averaging on the vocal head (see
+        separation.tiling.shift_averaged); instrumental stays the exact
+        complement. Opt-in via enhanced_separation.convtdf.shifts."""
+        from audio_cut_tpu.separation.tiling import shift_averaged
+
+        if int(shifts) <= 1:
+            return self.separate_fn(params, audio, length)
+        fwd = shift_averaged(
+            lambda x: self.separate_fn(params, x, length)[0], self.hop, shifts)
+        vocal = fwd(audio)
+        return vocal, audio[..., :length] - vocal
+
 
 class ConvTDFBackend:
     """Engine-facing backend (same seam as SpectralMaskBackend)."""
@@ -235,7 +250,11 @@ class ConvTDFBackend:
                 "separation output will be unusable"
             )
             self.params = self.sep.init_params(jax.random.PRNGKey(0))
-        self.map_group = max(1, int(cfg.get("map_group", 4)))
+        # test-time shift averaging (Demucs "shifts" trick): >1 runs each
+        # window at N sub-hop offsets in one batched forward and averages.
+        # map_group shrinks so activation memory stays bounded at shifts x batch.
+        self.shifts = max(1, int(cfg.get("shifts", 1)))
+        self.map_group = max(1, int(cfg.get("map_group", 4)) // self.shifts)
         self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
 
     def engine_geometry(self) -> Dict[str, float]:
@@ -262,7 +281,7 @@ class ConvTDFBackend:
 
         length = int(windows.shape[-1])
         return mapped_forward(
-            lambda batch: self.sep.separate_fn(params, batch, length),
+            lambda batch: self.sep.separate_shifted_fn(params, batch, length, self.shifts),
             windows, self.map_group,
         )
 
@@ -297,7 +316,7 @@ class ConvTDFBackend:
         target = self.sep.window_samples
 
         def forward(windows: jnp.ndarray) -> jnp.ndarray:
-            vocal_w, _ = self.sep.separate_fn(params, windows, target)
+            vocal_w, _ = self.sep.separate_shifted_fn(params, windows, target, self.shifts)
             return vocal_w
 
         return tiled_separate(forward, target, x, length)

@@ -121,7 +121,11 @@ class OnnxSeparatorBackend:
             output = "vocals" if "vocal" in Path(path).name.lower() else "instrumental"
         self.output = output
         self.model_path = path
-        self.map_group = max(1, int(cfg.get("map_group", 4)))
+        # test-time shift averaging (Demucs "shifts" trick; tiling.shift_averaged):
+        # same knob as the convtdf backend. map_group shrinks so activation
+        # memory stays bounded at shifts x batch.
+        self.shifts = max(1, int(cfg.get("shifts", 1)))
+        self.map_group = max(1, int(cfg.get("map_group", 4)) // self.shifts)
         self._tiled = jax.jit(self._tiled_separate, static_argnames=("length",))
         logger.info("ONNX separator: %s (output=%s, window=%d samples)",
                     path, output, self.window_samples)
@@ -160,8 +164,11 @@ class OnnxSeparatorBackend:
         return jnp.mean(wave, axis=1)                         # stereo -> mono
 
     def _tiled_separate(self, params, x: jnp.ndarray, length: int):
+        from audio_cut_tpu.separation.tiling import shift_averaged
+
         stem, rest = tiled_separate(
-            functools.partial(self._forward_windows, params),
+            shift_averaged(functools.partial(self._forward_windows, params),
+                           self.hop, self.shifts),
             self.window_samples, x, length,
         )
         if self.output == "vocals":
@@ -172,10 +179,11 @@ class OnnxSeparatorBackend:
 
     def _forward_batch(self, params, windows: jnp.ndarray) -> jnp.ndarray:
         """Sub-batched model forward ([n, W] -> [n, W] model stem)."""
-        from audio_cut_tpu.separation.tiling import mapped_forward
+        from audio_cut_tpu.separation.tiling import mapped_forward, shift_averaged
 
         return mapped_forward(
-            functools.partial(self._forward_windows, params),
+            shift_averaged(functools.partial(self._forward_windows, params),
+                           self.hop, self.shifts),
             windows, self.map_group,
         )
 

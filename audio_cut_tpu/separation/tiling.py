@@ -120,6 +120,42 @@ def tiled_forward_batch(
     return (acc / jnp.maximum(wacc, 1e-6))[:, :length]
 
 
+def shift_averaged(forward, hop: int, shifts: int):
+    """Wrap a [n, W] -> [n, W] stem forward with sub-hop shift averaging
+    (the Demucs "shifts" test-time trick, STFT form): mask nets are only
+    approximately equivariant to sub-hop time shifts — the STFT frame grid
+    discretizes differently — so run each window at ``shifts`` evenly-spaced
+    offsets IN ONE batched forward, undo the shifts, and average. Costs
+    ``shifts``x FLOPs for a small SI-SNR gain.
+
+    The last (shifts-1)/shifts * hop samples of each window receive fewer
+    votes (per-sample weight normalization keeps the average exact); the
+    engine's halo trim (n_fft/2 > hop) discards that edge anyway.
+    """
+    shifts = int(shifts)
+    if shifts <= 1:
+        return forward
+
+    def wrapped(windows: jnp.ndarray) -> jnp.ndarray:
+        b, w = windows.shape
+        step = max(1, hop // shifts)
+        xs = [windows]
+        for k in range(1, shifts):
+            s = k * step
+            xs.append(jnp.pad(windows[:, :-s], ((0, 0), (s, 0))))
+        y = forward(jnp.concatenate(xs, axis=0))
+        acc = y[:b]
+        wts = jnp.ones((w,), jnp.float32)
+        idx = jnp.arange(w)
+        for k in range(1, shifts):
+            s = k * step
+            acc = acc + jnp.pad(y[k * b:(k + 1) * b, s:], ((0, 0), (0, s)))
+            wts = wts + (idx < (w - s)).astype(jnp.float32)
+        return acc / wts
+
+    return wrapped
+
+
 def mapped_forward(forward, windows: jnp.ndarray, group: int):
     """Sub-batched batched forward via ``lax.map``: [N, W] windows run in
     groups of ``group`` so U-Net activation memory stays bounded while the

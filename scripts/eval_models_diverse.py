@@ -54,6 +54,9 @@ def main() -> int:
     ap.add_argument("--waveunet-checkpoint", default=None,
                     help="evaluate a CANDIDATE WaveUNet checkpoint instead "
                          "of the packaged one")
+    ap.add_argument("--shifts", type=int, default=1,
+                    help="test-time shift averaging for the convtdf backend "
+                         "(enhanced_separation.convtdf.shifts)")
     ap.add_argument("--vad-only", action="store_true",
                     help="VAD candidate scoring fast path: run only the "
                          "primary separator (for vad_f1_sep) + the VAD; "
@@ -78,7 +81,8 @@ def main() -> int:
         print("no packaged convtdf checkpoint in this build")
         return 1
     set_runtime_config({"enhanced_separation.convtdf.checkpoint":
-                        args.convtdf_checkpoint or "packaged"})
+                        args.convtdf_checkpoint or "packaged",
+                        "enhanced_separation.convtdf.shifts": args.shifts})
     convtdf = make_backend("convtdf", SR)
     spectral = make_backend("spectral", SR) if not args.vad_only else None
     from audio_cut_tpu.models.waveunet import packaged_checkpoint_path as wu_ckpt

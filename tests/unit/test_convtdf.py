@@ -32,6 +32,26 @@ def test_separate_fn_shapes_and_sum(small_sep):
     np.testing.assert_allclose(np.asarray(vocal + inst), np.asarray(audio), atol=1e-5)
 
 
+def test_separate_shifted_fn(small_sep):
+    params = small_sep.init_params(jax.random.PRNGKey(0))
+    length = small_sep.window_samples
+    audio = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, length)).astype(np.float32) * 0.1)
+    base, _ = jax.jit(lambda p, a: small_sep.separate_fn(p, a, length))(params, audio)
+    v2, i2 = jax.jit(
+        lambda p, a: small_sep.separate_shifted_fn(p, a, length, 2))(params, audio)
+    assert v2.shape == (2, length)
+    # complement identity must survive the averaging
+    np.testing.assert_allclose(np.asarray(v2 + i2), np.asarray(audio), atol=1e-5)
+    # shifts=1 degenerates to the plain forward exactly
+    v1, _ = jax.jit(
+        lambda p, a: small_sep.separate_shifted_fn(p, a, length, 1))(params, audio)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(base), atol=0)
+    # the averaged output is a same-scale estimate, not a degenerate one
+    ratio = float(jnp.linalg.norm(v2) / (jnp.linalg.norm(base) + 1e-9))
+    assert 0.3 < ratio < 3.0, ratio
+
+
 def test_complex_mask():
     spec = jnp.ones((1, 4, 8), jnp.complex64) * (1 + 1j)
     mask = jnp.zeros((1, 4, 8, 2)).at[..., 0].set(0.5)  # real-only mask 0.5
